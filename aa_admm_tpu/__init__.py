@@ -1,0 +1,31 @@
+"""aa_admm_tpu — a TPU-native Anderson-Accelerated ADMM framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of the
+reference AA-ADMM codebase (Zhang, Peng, Ouyang, Deng, "Accelerating ADMM for
+Efficient Simulation and Optimization", SIGGRAPH Asia 2019): physics
+simulation of elastic tets/cloth with two ADMM update orders (x->z->u and
+z->x->u), and constraint-based geometry optimization (planarity / wire-mesh),
+all accelerated by safeguarded Anderson acceleration.
+
+Design stance (TPU-first, not a port):
+  * arrays, not objects — per-type element batches, vmapped prox kernels
+  * matrix-free or dense-inverse (single MXU matmul) global step instead of
+    sparse Cholesky backsolves
+  * Anderson acceleration as a pure function of fixed-shape carried state
+  * the ADMM loop is a single compiled ``lax.scan``
+  * multi-chip scaling via ``jax.sharding`` meshes (new capability; the
+    reference is OpenMP shared-memory only)
+"""
+
+import jax as _jax
+
+# The reference computes in float64 throughout (Geometry/Types.h:37-41).
+# Enabling x64 makes f64 *available*; every array in this package carries an
+# explicit dtype so TPU runs can choose f32/bf16 via config.
+_jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
+
+from .core.config import Settings, Parameters, AccelType  # noqa: E402,F401
+from .solver.physics import PhysicsSolver, UpdateOrder  # noqa: E402,F401
+from .solver.geometry import ALMGeometrySolver  # noqa: E402,F401

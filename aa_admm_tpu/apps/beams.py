@@ -1,0 +1,78 @@
+"""beams — the reference's headline benchmark scene
+(admm_anderson_xzu/samples/Asia2019/beams.cpp:94-167, headless).
+
+Three 12x3x3 tet-block beams (Linear / NeoHookean / StVK, soft rubber),
+end-pinned, with the pins stretched +/- x by 1 m/s each frame
+(stretch_beams, beams.cpp:66-92). Runs the xzu solver; writes
+result/residual-{m|no}.txt like the reference's testAndersonADMM harness.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..core.config import Lame, Settings
+from ..core.factory import make_tet_blocks
+from ..solver.physics import PhysicsSolver, UpdateOrder
+
+
+def build_scene(settings: Settings, order=UpdateOrder.XZU):
+    dim = 3
+    kinds = ["linear", "neohookean", "stvk"]
+    offsets_y = [1.75, 0.0, -1.75]
+    soft_rubber = Lame.from_young_poisson(10000000, 0.399)
+
+    solver = PhysicsSolver(order=order)
+    pin_ids, pin_labels, pin_points = [], [], []
+    for kind, oy in zip(kinds, offsets_y):
+        mesh = make_tet_blocks(dim * 4, dim, dim)
+        lo, hi = mesh.bounds()
+        center = 0.5 * (lo + hi)
+        scale = 1.0 / (hi - lo)[1]          # each beam 1 m tall
+        mesh.verts = (mesh.verts - center) * scale + np.array([0.0, oy, 0.0])
+        offset = solver.add_tetmesh(mesh.verts, mesh.tets, soft_rubber,
+                                    kind=kind)
+        # find_pins (beams.cpp:37-60): extreme-x vertices of each beam.
+        min_x = mesh.verts[:, 0].min() + 1e-2
+        max_x = mesh.verts[:, 0].max() - 1e-2
+        for j, v in enumerate(mesh.verts):
+            if v[0] < min_x:
+                pin_ids.append(j + offset)
+                pin_labels.append(0)
+                pin_points.append(v.copy())
+            elif v[0] > max_x:
+                pin_ids.append(j + offset)
+                pin_labels.append(1)
+                pin_points.append(v.copy())
+
+    state = dict(points=[p.copy() for p in pin_points])
+
+    def stretch(dt):
+        """stretch_beams (beams.cpp:66-92): move pins +/- 1 m/s in x."""
+        move = np.array([1.0, 0.0, 0.0]) * dt
+        for i in range(len(pin_ids)):
+            state["points"][i] += move if pin_labels[i] else -move
+        solver.set_pins(pin_ids, state["points"])
+
+    stretch(settings.timestep_s)  # initial pin placement (beams.cpp:160)
+    solver.initialize(settings)
+    return solver, stretch
+
+
+def main(argv=None, n_frames: int = 10, result_dir: str = "result"):
+    settings = Settings()
+    settings.admm_iters = 100
+    if settings.parse_args(argv or sys.argv[1:]):
+        return 0
+    solver, stretch = build_scene(settings)
+    for _ in range(n_frames):
+        stretch(settings.timestep_s)
+        solver.step()
+    solver.save(result_dir)
+    return solver
+
+
+if __name__ == "__main__":
+    main()

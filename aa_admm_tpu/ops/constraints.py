@@ -1,0 +1,334 @@
+"""Geometry constraint batches (planarity / angle / edge-length / closeness /
+reference-surface) — the struct-of-arrays replacement for the reference's
+``Constraint<N>`` virtual hierarchy (Geometry/Constraint.h:48-414).
+
+Each batch implements the L4->L2 interface as pure array ops:
+  * ``transform(x)``   — apply_transform (Constraint.h:73-94): gather +
+    invariance transform (MEAN_CENTERING / SUBTRACT_FIRST / IDENTITY),
+    emitting a fixed-shape block (C, K, 3) with a validity mask for padded
+    slots (variable-valence faces are padded to the max valence).
+  * ``scatter(t, n)``  — D^T applied to a block, via segment_sum (the adjoint
+    of transform; replaces the add_constraint triplets, Constraint.h:132-159).
+  * ``project(p)``     — the constraint projection (project_impl).
+
+Weights: each constraint carries w = sqrt(weight) (Constraint.h:62-68). Hard
+constraints enter D unweighted; soft constraints enter D and projections
+scaled by w (add_constraint 'weighted', project 'weighted').
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .closest_point import closest_point_on_mesh
+from .svd3 import eigh3x3
+
+
+def _static(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+def _pad_rows(rows, pad_val=0):
+    k = max(len(r) for r in rows)
+    out = np.full((len(rows), k), pad_val, np.int32)
+    mask = np.zeros((len(rows), k), bool)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+        mask[i, : len(r)] = True
+    return out, mask
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PlaneBatch:
+    """Per-face best-fit-plane projection, MEAN_CENTERING transform
+    (PlaneConstraint, Constraint.h:396-414). Faces padded to max valence."""
+
+    idx: jnp.ndarray    # (C, K) int32, padded
+    mask: jnp.ndarray   # (C, K) bool
+    count: jnp.ndarray  # (C,) float — valence
+    w: jnp.ndarray      # (C,)
+
+    @classmethod
+    def create(cls, faces, weight, dtype=np.float64):
+        idx, mask = _pad_rows(faces)
+        C = len(faces)
+        return cls(idx=jnp.asarray(idx), mask=jnp.asarray(mask),
+                   count=jnp.asarray(mask.sum(1).astype(dtype)),
+                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)))
+
+    @property
+    def block_shape(self):
+        return tuple(self.idx.shape) + (3,)
+
+    def transform(self, x):
+        p = x[self.idx] * self.mask[..., None]
+        mean = jnp.sum(p, axis=1) / self.count[:, None]
+        return (p - mean[:, None, :]) * self.mask[..., None]
+
+    def scatter(self, t, n_verts):
+        # Adjoint of masked mean-centering: t_centered scattered to idx.
+        tm = t * self.mask[..., None]
+        mean = jnp.sum(tm, axis=1) / self.count[:, None]
+        tc = (tm - mean[:, None, :]) * self.mask[..., None]
+        return jax.ops.segment_sum(tc.reshape(-1, 3), self.idx.reshape(-1),
+                                   num_segments=n_verts)
+
+    def project(self, p):
+        """Subtract the best-fit-plane normal component: the normal is the
+        least-significant left-singular vector of the centered 3xk block
+        (Constraint.h:406-413)."""
+        # Covariance of the centered points: (C, 3, 3); padded slots are zero.
+        cov = jnp.einsum("cki,ckj->cij", p, p)
+        wvals, V = eigh3x3(cov)
+        nidx = jnp.argmin(wvals, axis=-1)
+        normal = jnp.take_along_axis(V, nidx[:, None, None], axis=2)[..., 0]
+        nn = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+        normal = normal / jnp.maximum(nn, 1e-300)
+        coef = jnp.einsum("ci,cki->ck", normal, p)
+        return (p - coef[..., None] * normal[:, None, :]) * self.mask[..., None]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class AngleBatch:
+    """3-point angle clamp to [min,max] radians, SUBTRACT_FIRST transform
+    (AngleConstraint, Constraint.h:220-296). Block shape (C, 2, 3)."""
+
+    idx: jnp.ndarray        # (C, 3) tip, side1, side2
+    w: jnp.ndarray          # (C,)
+    min_angle: jnp.ndarray  # (C,)
+    max_angle: jnp.ndarray  # (C,)
+
+    @classmethod
+    def create(cls, triples, weight, min_radian, max_radian, dtype=np.float64):
+        C = len(triples)
+        mn = np.maximum(0.0, np.broadcast_to(min_radian, (C,)).astype(dtype))
+        mx = np.minimum(np.pi, np.broadcast_to(max_radian, (C,)).astype(dtype))
+        return cls(idx=jnp.asarray(np.asarray(triples, np.int32)),
+                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)),
+                   min_angle=jnp.asarray(mn), max_angle=jnp.asarray(mx))
+
+    @property
+    def block_shape(self):
+        return (self.idx.shape[0], 2, 3)
+
+    def transform(self, x):
+        tip = x[self.idx[:, 0]]
+        return jnp.stack([x[self.idx[:, 1]] - tip, x[self.idx[:, 2]] - tip],
+                         axis=1)
+
+    def scatter(self, t, n_verts):
+        contrib = jnp.concatenate(
+            [-(t[:, 0] + t[:, 1])[:, None, :], t], axis=1)  # (C, 3, 3)
+        return jax.ops.segment_sum(contrib.reshape(-1, 3),
+                                   self.idx.reshape(-1), num_segments=n_verts)
+
+    def project(self, p):
+        """Closed-form coplanar rotation projection (Constraint.h:243-291)."""
+        v1, v2 = p[:, 0], p[:, 1]
+        eps = 1e-14
+        v1_sq = jnp.sum(v1 * v1, -1)
+        v2_sq = jnp.sum(v2 * v2, -1)
+        v1_n = jnp.sqrt(v1_sq)
+        v2_n = jnp.sqrt(v2_sq)
+        u1 = v1 / jnp.maximum(v1_n, 1e-300)[:, None]
+        u2 = v2 / jnp.maximum(v2_n, 1e-300)[:, None]
+        cos_g = jnp.clip(jnp.sum(u1 * u2, -1), -1.0, 1.0)
+
+        min_cos = jnp.clip(jnp.cos(self.min_angle), -1.0, 1.0)
+        max_cos = jnp.clip(jnp.cos(self.max_angle), -1.0, 1.0)
+        needs = ((1.0 - jnp.abs(cos_g) > eps)
+                 & ((cos_g > min_cos) | (cos_g < max_cos)))
+
+        gamma = jnp.arccos(cos_g)
+        too_small = cos_g > min_cos  # angle below range -> open it up
+        eta = jnp.where(too_small, self.min_angle - gamma,
+                        gamma - self.max_angle)
+        eta = jnp.maximum(eta, 0.0)
+        theta = 0.5 * jnp.arctan2(v2_sq * jnp.sin(2 * eta),
+                                  v1_sq + v2_sq * jnp.cos(2 * eta))
+        theta = jnp.clip(theta, 0.0, eta)
+        phi = eta - theta
+
+        u3 = u2 - u1 * cos_g[:, None]
+        u3 = u3 / jnp.maximum(jnp.linalg.norm(u3, axis=-1, keepdims=True), 1e-300)
+        u4 = u1 - u2 * cos_g[:, None]
+        u4 = u4 / jnp.maximum(jnp.linalg.norm(u4, axis=-1, keepdims=True), 1e-300)
+        sgn = jnp.where(too_small, -1.0, 1.0)[:, None]
+        u3 = u3 * sgn
+        u4 = u4 * sgn
+
+        p1 = ((u1 * jnp.cos(theta)[:, None] + u3 * jnp.sin(theta)[:, None])
+              * (v1_n * jnp.cos(theta))[:, None])
+        p2 = ((u2 * jnp.cos(phi)[:, None] + u4 * jnp.sin(phi)[:, None])
+              * (v2_n * jnp.cos(phi))[:, None])
+        proj = jnp.stack([p1, p2], axis=1)
+        return jnp.where(needs[:, None, None], proj, p)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EdgeLengthBatch:
+    """Edge vector projected to target length, SUBTRACT_FIRST
+    (EdgeLengthConstraint, Constraint.h:194-218). Block (C, 1, 3)."""
+
+    idx: jnp.ndarray      # (C, 2)
+    w: jnp.ndarray        # (C,)
+    target: jnp.ndarray   # (C,)
+
+    @classmethod
+    def create(cls, pairs, weight, target_length, dtype=np.float64):
+        C = len(pairs)
+        return cls(idx=jnp.asarray(np.asarray(pairs, np.int32)),
+                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)),
+                   target=jnp.asarray(
+                       np.broadcast_to(target_length, (C,)).astype(dtype)))
+
+    @property
+    def block_shape(self):
+        return (self.idx.shape[0], 1, 3)
+
+    def transform(self, x):
+        return (x[self.idx[:, 1]] - x[self.idx[:, 0]])[:, None, :]
+
+    def scatter(self, t, n_verts):
+        contrib = jnp.concatenate([-t, t], axis=1)  # (C, 2, 3)
+        return jax.ops.segment_sum(contrib.reshape(-1, 3),
+                                   self.idx.reshape(-1), num_segments=n_verts)
+
+    def project(self, p):
+        e = p[:, 0]
+        n = jnp.maximum(jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-300)
+        return (e / n * self.target[:, None])[:, None, :]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ClosenessBatch:
+    """Pin a vertex toward a target, IDENTITY transform (ClosenessConstraint,
+    Constraint.h:299-326 — implemented *correctly*: the reference's
+    misspelled ``proj_impl`` silently degrades it to an identity projection,
+    a latent bug not replicated here)."""
+
+    idx: jnp.ndarray     # (C,)
+    w: jnp.ndarray       # (C,)
+    target: jnp.ndarray  # (C, 3)
+
+    @classmethod
+    def create(cls, idx, weight, targets, dtype=np.float64):
+        C = len(idx)
+        return cls(idx=jnp.asarray(np.asarray(idx, np.int32)),
+                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)),
+                   target=jnp.asarray(np.asarray(targets, dtype).reshape(C, 3)))
+
+    @property
+    def block_shape(self):
+        return (self.idx.shape[0], 1, 3)
+
+    def transform(self, x):
+        return x[self.idx][:, None, :]
+
+    def scatter(self, t, n_verts):
+        return jax.ops.segment_sum(t[:, 0], self.idx, num_segments=n_verts)
+
+    def project(self, p):
+        return jnp.broadcast_to(self.target[:, None, :], p.shape)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RefSurfaceBatch:
+    """Closest-point projection of vertices onto a fixed reference trimesh
+    (PointToRefSurfaceConstraint / ReferenceSurfceConstraint,
+    Constraint.h:328-394). Block (C, 1, 3)."""
+
+    idx: jnp.ndarray        # (C,)
+    w: jnp.ndarray          # (C,)
+    tri_verts: jnp.ndarray  # (T, 3, 3) reference surface triangles
+    tile: int = _static(default=2048)
+
+    @classmethod
+    def create(cls, idx, weight, ref_verts, ref_faces, dtype=np.float64,
+               tile: int = 2048):
+        C = len(idx)
+        rv = np.asarray(ref_verts, dtype)
+        rf = np.asarray(ref_faces, np.int64)
+        return cls(idx=jnp.asarray(np.asarray(idx, np.int32)),
+                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)),
+                   tri_verts=jnp.asarray(rv[rf]), tile=tile)
+
+    @property
+    def block_shape(self):
+        return (self.idx.shape[0], 1, 3)
+
+    def transform(self, x):
+        return x[self.idx][:, None, :]
+
+    def scatter(self, t, n_verts):
+        return jax.ops.segment_sum(t[:, 0], self.idx, num_segments=n_verts)
+
+    def project(self, p):
+        q = closest_point_on_mesh(p[:, 0], self.tri_verts, tile=self.tile)
+        return q[:, None, :]
+
+
+def wexpand(batch, a):
+    w = batch.w
+    return w.reshape(w.shape + (1,) * (a.ndim - w.ndim)) * a
+
+
+def assemble_geometry_node_matrix(n_verts: int, hard, soft, rho: float,
+                                  reg_rows=None) -> np.ndarray:
+    """Host-side dense per-coordinate global matrix
+    ``rho * D_h^T D_h + D_s^T W_s^2 D_s + L^T L``
+    (ALMGeometrySolver::setup_ADMM, ALMGeometrySolver.h:96-141)."""
+    def add_batch(A, b, scale_w):
+        if isinstance(b, PlaneBatch):
+            idx = np.asarray(b.idx)
+            mask = np.asarray(b.mask).astype(np.float64)
+            cnt = np.asarray(b.count)
+            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            # Row block for face c: (I - 11^T/k) over its k valid slots.
+            k = idx.shape[1]
+            eye = np.eye(k)[None]
+            T = (eye - mask[:, :, None] * mask[:, None, :] / cnt[:, None, None])
+            T = T * mask[:, :, None] * mask[:, None, :]
+            K = np.einsum("c,cik,cjk->cij", w2, T, T)
+            np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
+        elif isinstance(b, AngleBatch):
+            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(b.idx))
+            idx = np.asarray(b.idx)
+            # rows: [-1 1 0], [-1 0 1] over (tip, s1, s2)
+            G = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+            K = np.einsum("c,ir,jr->cij", w2, G, G)
+            np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
+        elif isinstance(b, EdgeLengthBatch):
+            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(b.idx))
+            idx = np.asarray(b.idx)
+            G = np.array([[-1.0], [1.0]])
+            K = np.einsum("c,ir,jr->cij", w2, G, G)
+            np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
+        else:  # identity transforms
+            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(b.idx))
+            idx = np.asarray(b.idx)
+            np.add.at(A, (idx, idx), w2)
+
+    A = np.zeros((n_verts, n_verts))
+    for b in hard:
+        add_batch(A, b, scale_w=False)
+    A *= rho
+    for b in soft:
+        add_batch(A, b, scale_w=True)
+    if reg_rows is not None:
+        idx, coef, mask = reg_rows
+        # L^T L: rows (R, K) with coefficients coef and validity mask.
+        cm = coef * mask
+        K = np.einsum("ri,rj->rij", cm, cm)
+        np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
+    return A

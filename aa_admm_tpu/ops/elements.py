@@ -1,0 +1,295 @@
+"""Struct-of-arrays element batches: the TPU-native replacement for the
+reference's per-element ``EnergyTerm`` virtual hierarchy
+(admm_anderson_xzu/src/EnergyTerm.hpp:67-213).
+
+One batch = all elements of one type/material, processed by a single fused
+kernel. The sparse reduction matrix D never exists on device: ``deform``
+computes D x as a gather + small matmul per element, and ``scatter`` applies
+D^T via ``jax.ops.segment_sum`` (deterministic, bit-reproducible — the
+functional replacement for the reference's OpenMP scatter loops).
+
+z-block shape conventions (matching the flattened layouts of the reference):
+  tets  -> (E, 3, 3)   deformation gradient F = [x1-x0|x2-x0|x3-x0] B^-1
+           (TetEnergyTerm::get_reduction, TetEnergyTerm.cpp:67-88)
+  tris  -> (E, 3, 2)   3x2 deformation gradient in the 2D rest basis
+           (TriEnergyTerm.cpp:30-71)
+  pins/collisions -> (E, 3) vertex positions (identity reduction,
+           SpringEnergyTerm.hpp:60-65, CollisionEnergyTerm.hpp:72-77)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Lame
+from . import prox as proxops
+from .sdf import SdfScene
+
+_SQRT2 = float(np.sqrt(2.0))
+
+
+def _static(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TetBatch:
+    """All tets of one material. weight w = sqrt(k*vol) per element
+    (TetEnergyTerm.cpp:63-64)."""
+
+    tets: jnp.ndarray     # (E, 4) int32
+    Dm_inv: jnp.ndarray   # (E, 3, 3) inverse rest-edge matrix
+    vol: jnp.ndarray      # (E,)
+    w: jnp.ndarray        # (E,)
+    mu: jnp.ndarray       # (E,)
+    lam: jnp.ndarray      # (E,)
+    k: jnp.ndarray        # (E,) bulk modulus
+    kind: str = _static(default="linear")   # linear | neohookean | stvk
+    svd_method: str = _static(default="jacobi")
+
+    zdim = (3, 3)
+
+    @classmethod
+    def from_mesh(cls, verts: np.ndarray, tets: np.ndarray, lame: Lame,
+                  kind: str = "linear", dtype=np.float64,
+                  svd_method: str = "jacobi") -> "TetBatch":
+        v0 = verts[tets[:, 0]]
+        edges = np.transpose(verts[tets[:, 1:]] - v0[:, None, :], (0, 2, 1))
+        vol = np.linalg.det(edges) / 6.0
+        if np.any(vol < 0):
+            raise ValueError("TetBatch: inverted initial tet")
+        Dm_inv = np.linalg.inv(edges)
+        E = len(tets)
+        k = np.full(E, lame.bulk_modulus, dtype)
+        w = np.sqrt(k * vol)
+        return cls(
+            tets=jnp.asarray(tets.astype(np.int32)),
+            Dm_inv=jnp.asarray(Dm_inv.astype(dtype)),
+            vol=jnp.asarray(vol.astype(dtype)),
+            w=jnp.asarray(w.astype(dtype)),
+            mu=jnp.asarray(np.full(E, lame.mu, dtype)),
+            lam=jnp.asarray(np.full(E, lame.lam, dtype)),
+            k=jnp.asarray(k),
+            kind=kind,
+            svd_method=svd_method,
+        )
+
+    def deform(self, x):
+        """D x: per-element deformation gradient from positions x (n, 3)."""
+        g = x[self.tets]                                   # (E, 4, 3)
+        edges = jnp.swapaxes(g[:, 1:] - g[:, :1], -1, -2)  # (E, 3, 3) cols=edges
+        return jnp.einsum("eij,ejk->eik", edges, self.Dm_inv)
+
+    def scatter(self, t, n_verts):
+        """D^T t: adjoint of deform, scattered to vertex space (n, 3)."""
+        dE = jnp.einsum("eij,ekj->eik", t, self.Dm_inv)    # (E, 3, 3) cols=edge grads
+        c = jnp.swapaxes(dE, -1, -2)                       # (E, 3edges, 3coords)
+        contrib = jnp.concatenate([-jnp.sum(c, axis=1, keepdims=True), c], axis=1)
+        return jax.ops.segment_sum(contrib.reshape(-1, 3), self.tets.reshape(-1),
+                                   num_segments=n_verts)
+
+    def prox(self, v):
+        if self.kind == "linear":
+            return proxops.prox_tet_linear(v, self.mu, self.lam, self.k,
+                                           self.svd_method)
+        if self.kind == "neohookean":
+            return proxops.prox_tet_neohookean(v, self.mu, self.lam, self.k,
+                                               self.svd_method)
+        if self.kind == "stvk":
+            return proxops.prox_tet_stvk(v, self.mu, self.lam, self.k,
+                                         self.svd_method)
+        raise ValueError(self.kind)
+
+    def grad(self, z):
+        """dU/dF * vol at z (EnergyTerm::get_all_gradient path)."""
+        if self.kind == "linear":
+            return proxops.grad_tet_linear(z, self.mu, self.lam, self.k, self.vol,
+                                           self.svd_method)
+        if self.kind == "neohookean":
+            return proxops.grad_tet_neohookean(z, self.mu, self.lam, self.k, self.vol)
+        if self.kind == "stvk":
+            return proxops.grad_tet_stvk(z, self.mu, self.lam, self.k, self.vol)
+        raise ValueError(self.kind)
+
+    def energy(self, z):
+        if self.kind == "linear":
+            return proxops.energy_tet_linear(z, self.mu, self.lam, self.k, self.vol,
+                                             self.svd_method)
+        if self.kind == "neohookean":
+            return proxops.energy_tet_neohookean(z, self.mu, self.lam, self.k, self.vol)
+        if self.kind == "stvk":
+            return proxops.energy_tet_stvk(z, self.mu, self.lam, self.k, self.vol)
+        raise ValueError(self.kind)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriBatch:
+    """Cloth triangles; w = sqrt(k*area) (TriEnergyTerm.cpp:50-51)."""
+
+    tris: jnp.ndarray      # (E, 3) int32
+    rest_inv: jnp.ndarray  # (E, 2, 2)
+    area: jnp.ndarray      # (E,)
+    w: jnp.ndarray         # (E,)
+    mu: jnp.ndarray
+    lam: jnp.ndarray
+    k: jnp.ndarray
+    limit_min: jnp.ndarray
+    limit_max: jnp.ndarray
+    variant: str = _static(default="zxu")  # strain-limiting style: xzu | zxu
+
+    zdim = (3, 2)
+
+    @classmethod
+    def from_mesh(cls, verts: np.ndarray, tris: np.ndarray, lame: Lame,
+                  variant: str = "zxu", dtype=np.float64) -> "TriBatch":
+        if lame.limit_min > 1.0:
+            raise ValueError("TriBatch: strain limit min should be -inf to 1")
+        if lame.limit_max < 1.0:
+            raise ValueError("TriBatch: strain limit max should be 1 to inf")
+        e12 = verts[tris[:, 1]] - verts[tris[:, 0]]
+        e13 = verts[tris[:, 2]] - verts[tris[:, 0]]
+        n1 = e12 / np.linalg.norm(e12, axis=-1, keepdims=True)
+        t = e13 - np.sum(e13 * n1, axis=-1, keepdims=True) * n1
+        n2 = t / np.linalg.norm(t, axis=-1, keepdims=True)
+        basis = np.stack([n1, n2], axis=-1)                  # (E, 3, 2)
+        edges = np.stack([e12, e13], axis=-1)                # (E, 3, 2)
+        rest = np.einsum("eji,ejk->eik", basis, edges)       # (E, 2, 2)
+        area = 0.5 * np.linalg.det(rest)
+        if np.any(area < 0):
+            raise ValueError("TriBatch: inverted initial pose")
+        rest_inv = np.linalg.inv(rest)
+        E = len(tris)
+        k = np.full(E, lame.bulk_modulus, dtype)
+        w = np.sqrt(k * area)
+        return cls(
+            tris=jnp.asarray(tris.astype(np.int32)),
+            rest_inv=jnp.asarray(rest_inv.astype(dtype)),
+            area=jnp.asarray(area.astype(dtype)),
+            w=jnp.asarray(w.astype(dtype)),
+            mu=jnp.asarray(np.full(E, lame.mu, dtype)),
+            lam=jnp.asarray(np.full(E, lame.lam, dtype)),
+            k=jnp.asarray(k),
+            limit_min=jnp.asarray(np.full(E, lame.limit_min, dtype)),
+            limit_max=jnp.asarray(np.full(E, lame.limit_max, dtype)),
+            variant=variant,
+        )
+
+    def deform(self, x):
+        g = x[self.tris]                                    # (E, 3, 3)
+        edges = jnp.swapaxes(g[:, 1:] - g[:, :1], -1, -2)   # (E, 3, 2) cols
+        return jnp.einsum("eij,ejk->eik", edges, self.rest_inv)
+
+    def scatter(self, t, n_verts):
+        dE = jnp.einsum("eij,ekj->eik", t, self.rest_inv)   # (E, 3, 2)
+        c = jnp.swapaxes(dE, -1, -2)                        # (E, 2, 3)
+        contrib = jnp.concatenate([-jnp.sum(c, axis=1, keepdims=True), c], axis=1)
+        return jax.ops.segment_sum(contrib.reshape(-1, 3), self.tris.reshape(-1),
+                                   num_segments=n_verts)
+
+    def prox(self, v):
+        if self.variant == "zxu":
+            return proxops.prox_tri_zxu(v, self.limit_min, self.limit_max)
+        return proxops.prox_tri_xzu(v, self.limit_min, self.limit_max)
+
+    def grad(self, z):
+        return proxops.grad_tri(z, self.mu, self.lam, self.k, self.area)
+
+    def energy(self, z):
+        return proxops.energy_tri(z, self.mu, self.lam, self.k, self.area)
+
+    def strain_violation(self, z):
+        return proxops.strain_limit_violation(z, self.limit_min, self.limit_max)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PinBatch:
+    """Spring pins: identity reduction on a vertex; prox snaps to the target.
+    weight = sqrt(2*bulk(rubber)) (SpringEnergyTerm.hpp:53-57)."""
+
+    idx: jnp.ndarray      # (E,) int32
+    target: jnp.ndarray   # (E, 3)
+    active: jnp.ndarray   # (E,) bool
+    w: jnp.ndarray        # (E,)
+
+    zdim = (3,)
+
+    @classmethod
+    def create(cls, idx, targets, dtype=np.float64) -> "PinBatch":
+        E = len(idx)
+        w = np.full(E, np.sqrt(Lame.rubber().bulk_modulus * 2.0), dtype)
+        return cls(idx=jnp.asarray(np.asarray(idx, np.int32)),
+                   target=jnp.asarray(np.asarray(targets, dtype).reshape(E, 3)),
+                   active=jnp.ones((E,), bool),
+                   w=jnp.asarray(w))
+
+    def deform(self, x):
+        return x[self.idx]
+
+    def scatter(self, t, n_verts):
+        return jax.ops.segment_sum(t, self.idx, num_segments=n_verts)
+
+    def prox(self, v):
+        return proxops.prox_pin(v, self.target, self.active)
+
+    def grad(self, z):
+        return jnp.zeros_like(z)
+
+    def energy(self, z):
+        return jnp.zeros(z.shape[0], z.dtype)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CollisionBatch:
+    """Per-vertex hard-collision terms (zxu Collision energy,
+    CollisionEnergyTerm.hpp:41-117): identity reduction, prox snaps to the
+    passive-collider surface when penetrating; weight = sqrt(2*bulk(soft_rubber)).
+    """
+
+    idx: jnp.ndarray      # (E,) int32
+    active: jnp.ndarray   # (E,) bool
+    w: jnp.ndarray        # (E,)
+    scene: SdfScene
+
+    zdim = (3,)
+
+    @classmethod
+    def create(cls, idx, scene: SdfScene, dtype=np.float64) -> "CollisionBatch":
+        E = len(idx)
+        w = np.full(E, np.sqrt(Lame.soft_rubber().bulk_modulus * 2.0), dtype)
+        return cls(idx=jnp.asarray(np.asarray(idx, np.int32)),
+                   active=jnp.ones((E,), bool),
+                   w=jnp.asarray(w), scene=scene)
+
+    def deform(self, x):
+        return x[self.idx]
+
+    def scatter(self, t, n_verts):
+        return jax.ops.segment_sum(t, self.idx, num_segments=n_verts)
+
+    def prox(self, v):
+        return proxops.prox_collision(v, self.scene, self.active)
+
+    def grad(self, z):
+        return jnp.zeros_like(z)
+
+    def energy(self, z):
+        return jnp.zeros(z.shape[0], z.dtype)
+
+
+def wexpand(batch, a):
+    """Broadcast per-element weights onto a z-block array."""
+    extra = a.ndim - batch.w.ndim
+    return batch.w.reshape(batch.w.shape + (1,) * extra)
+
+
+def block_sqnorm(a):
+    return jnp.sum(a * a)

@@ -1,0 +1,419 @@
+"""ALM/ADMM geometry optimization solver on TPU.
+
+Re-implements ``ALMGeometrySolver<N>`` (Geometry/ALMGeometrySolver.h:52-463)
+— the solver used by both PlanarityOpt and WireMeshOpt — as a compiled JAX
+``while_loop``: separate hard/soft constraint transforms, exact hard
+projection + weighted soft projection in the z-update, a per-coordinate
+global solve (one MXU matmul against a precomputed dense inverse, or PCG),
+a scaled-dual update on the hard block only, and safeguarded Anderson
+acceleration over the (u, x) pair with accept/reject on the combined
+residual ``||D_h x - z_h||^2 + ||D_h x - D_h x_prev||^2``
+(ALMGeometrySolver.h:459-461).
+
+The loop counts *accepted* iterations (ALMGeometrySolver.h:219-263): a
+rejected trial rolls back to the last accepted iterate, restarts the AA
+window, and forces the next trial to be accepted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.meshio import save_residual_file
+from ..core.timers import MicroTimer
+from ..ops.constraints import (AngleBatch, ClosenessBatch, EdgeLengthBatch,
+                               PlaneBatch, RefSurfaceBatch,
+                               assemble_geometry_node_matrix)
+from . import anderson
+from .linear import DenseInverseSolver, dense_inverse, pcg
+
+
+def _static(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RegRows:
+    """Padded regularization rows L (LinearRegularization.h:36-153):
+    row r touches idx[r, :] with coefficients coef[r, :] (already scaled by
+    sqrt(weight)); target rhs per row."""
+
+    idx: jnp.ndarray     # (R, K) int32
+    coef: jnp.ndarray    # (R, K)
+    mask: jnp.ndarray    # (R, K) bool
+    target: jnp.ndarray  # (R, 3)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class GeometrySystem:
+    hard: tuple                      # hard constraint batches
+    soft: tuple                      # soft constraint batches
+    solver: Optional[DenseInverseSolver]
+    precond_diag: Optional[jnp.ndarray]
+    rhs_fixed: jnp.ndarray           # (n, 3) = L^T * reg_rhs
+    reg: Optional[RegRows] = None
+    n_verts: int = _static(default=0)
+    rho: float = _static(default=1.0)
+    max_iter: int = _static(default=100)
+    anderson_m: int = _static(default=5)
+    accel: bool = _static(default=True)
+    cg_tol: float = _static(default=1e-12)
+    cg_max_iters: int = _static(default=400)
+
+    def transform_hard(self, x):
+        return tuple(b.transform(x) for b in self.hard)
+
+    def transform_soft(self, x):
+        return tuple(b.transform(x) for b in self.soft)
+
+
+class GeometryTrace(NamedTuple):
+    x: jnp.ndarray
+    function_values: jnp.ndarray  # (max_iter,)
+    rejects: jnp.ndarray          # (max_iter,) total rejects before accept i
+    n_trials: jnp.ndarray
+
+
+def _flatten(ts):
+    return jnp.concatenate([t.ravel() for t in ts])
+
+
+def _unflatten(flat, templates):
+    out, off = [], 0
+    for t in templates:
+        size = int(np.prod(t.shape))
+        out.append(flat[off:off + size].reshape(t.shape))
+        off += size
+    return tuple(out)
+
+
+def _sqnorm_all(ts):
+    return sum(jnp.sum(t * t) for t in ts)
+
+
+def _solve_x(system: GeometrySystem, z_hard, u, z_soft):
+    """x-update (ALMGeometrySolver::ADMM_x_update, :442-450):
+    A x = rhs_fixed + rho D_h^T (z_h - u) + D_s^T W_s z_s."""
+    rhs = system.rhs_fixed
+    s = jnp.zeros_like(rhs)
+    for b, zh, uh in zip(system.hard, z_hard, u):
+        s = s + b.scatter(zh - uh, system.n_verts)
+    rhs = rhs + system.rho * s
+    for b, zs in zip(system.soft, z_soft):
+        w2 = b.w.reshape(b.w.shape + (1,) * (zs.ndim - 1)) ** 2
+        rhs = rhs + b.scatter(w2 * zs, system.n_verts)
+    if system.solver is not None:
+        return system.solver.solve(rhs)
+
+    def operator(v):
+        out = jnp.zeros_like(v)
+        sh = jnp.zeros_like(v)
+        for b in system.hard:
+            sh = sh + b.scatter(b.transform(v), system.n_verts)
+        out = out + system.rho * sh
+        for b in system.soft:
+            t = b.transform(v)
+            w2 = b.w.reshape(b.w.shape + (1,) * (t.ndim - 1)) ** 2
+            out = out + b.scatter(w2 * t, system.n_verts)
+        return out + _reg_apply(system, v)
+
+    x, _ = pcg(operator, rhs, system.precond_diag, tol=system.cg_tol,
+               max_iters=system.cg_max_iters)
+    return x
+
+
+def _reg_apply(system, v):
+    # Regularization normal matrix applied matrix-free (CG path); the dense
+    # path folds L^T L into the prefactorized matrix.
+    if system.reg is None:
+        return jnp.zeros_like(v)
+    r = system.reg
+    rows = jnp.einsum("rk,rkc->rc", r.coef * r.mask, v[r.idx])
+    out = jnp.zeros_like(v)
+    contrib = (r.coef * r.mask)[..., None] * rows[:, None, :]
+    return out.at[r.idx.reshape(-1)].add(contrib.reshape(-1, 3))
+
+
+@jax.jit
+def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
+    """ALMGeometrySolver::solve_ADMM (ALMGeometrySolver.h:163-283)."""
+    x0 = init_x
+    u0 = tuple(jnp.zeros(b.block_shape, init_x.dtype) for b in system.hard)
+    aa0 = anderson.init(max(system.anderson_m, 1),
+                        jnp.concatenate([_flatten(u0), x0.ravel()]))
+    max_iter = system.max_iter
+    fv0 = jnp.full((max_iter,), jnp.nan, init_x.dtype)
+    rj0 = jnp.zeros((max_iter,), jnp.int32)
+    accel = system.accel
+
+    state = dict(x=x0, u=u0, dx=x0, du=u0,
+                 prev=jnp.asarray(np.finfo(np.float64).max, init_x.dtype),
+                 reset=jnp.asarray(False), aa=aa0,
+                 it=jnp.zeros((), jnp.int32), trial=jnp.zeros((), jnp.int32),
+                 fv=fv0, rj=rj0, rejects=jnp.zeros((), jnp.int32))
+
+    def cond(st):
+        return (st["it"] < max_iter) & (st["trial"] < 2 * max_iter + 4)
+
+    def body(st):
+        cx, cu = st["x"], st["u"]
+        dx_h = system.transform_hard(cx)       # D_h x
+        dx_s = system.transform_soft(cx)
+        prev_dx_h = dx_h
+
+        # z-update (:425-440): hard projects (D_h x + u); soft projects D_s x.
+        z_h = tuple(b.project(d + ui)
+                    for b, d, ui in zip(system.hard, dx_h, cu))
+        z_s = tuple(b.project(d) for b, d in zip(system.soft, dx_s))
+
+        new_x = _solve_x(system, z_h, cu, z_s)
+        dx_h2 = system.transform_hard(new_x)
+        new_u = tuple(ui + d - zh for ui, d, zh in zip(cu, dx_h2, z_h))
+
+        res = (_sqnorm_all(tuple(d - zh for d, zh in zip(dx_h2, z_h)))
+               + _sqnorm_all(tuple(d - p for d, p in zip(dx_h2, prev_dx_h))))
+
+        accept = (not accel) | st["reset"] | (res < st["prev"])
+
+        def on_accept(st):
+            fv = st["fv"].at[st["it"]].set(res)
+            rj = st["rj"].at[st["it"]].set(st["rejects"])
+            if accel:
+                aa, mixed = anderson.compute(
+                    st["aa"], jnp.concatenate([_flatten(new_u), new_x.ravel()]))
+                usize = sum(int(np.prod(t.shape)) for t in new_u)
+                nu = _unflatten(mixed[:usize], new_u)
+                nx = mixed[usize:].reshape(new_x.shape)
+            else:
+                aa, nu, nx = st["aa"], new_u, new_x
+            return dict(x=nx, u=nu, dx=new_x, du=new_u,
+                        prev=res, reset=jnp.asarray(False), aa=aa,
+                        it=st["it"] + 1, trial=st["trial"] + 1,
+                        fv=fv, rj=rj, rejects=jnp.zeros((), jnp.int32))
+
+        def on_reject(st):
+            aa = anderson.reset(
+                st["aa"], jnp.concatenate([_flatten(st["du"]),
+                                           st["dx"].ravel()]))
+            return dict(x=st["dx"], u=st["du"], dx=st["dx"], du=st["du"],
+                        prev=st["prev"], reset=jnp.asarray(True), aa=aa,
+                        it=st["it"], trial=st["trial"] + 1,
+                        fv=st["fv"], rj=st["rj"],
+                        rejects=st["rejects"] + 1)
+
+        return jax.lax.cond(accept, on_accept, on_reject, st)
+
+    st = jax.lax.while_loop(cond, body, state)
+    return GeometryTrace(x=st["dx"], function_values=st["fv"],
+                         rejects=st["rj"], n_trials=st["trial"])
+
+
+@jax.jit
+def soft_energy(system: GeometrySystem, x):
+    """Weighted soft-constraint projection error: sum over soft constraints of
+    0.5 * w^2 * ||D_s x - proj(D_s x)||^2 (Constraint::project with
+    squared_deviation, Constraint.h:96-116; printed as 'Init/final energy',
+    ALMGeometrySolver.h:186-192, 271-278)."""
+    total = jnp.asarray(0.0, x.dtype)
+    for b in system.soft:
+        d = b.transform(x)
+        p = b.project(d)
+        w2 = b.w.reshape(b.w.shape + (1,) * (d.ndim - 1)) ** 2
+        total = total + 0.5 * jnp.sum(w2 * (d - p) ** 2)
+    return total
+
+
+def _geometry_node_diag(n_points, hard, soft, rho, reg):
+    """Diagonal of the geometry global matrix without materializing it
+    (Jacobi preconditioner for the large-mesh PCG path)."""
+    d = np.zeros(n_points)
+
+    def add(b, scale_w, out_scale=1.0):
+        if isinstance(b, PlaneBatch):
+            idx = np.asarray(b.idx)
+            mask = np.asarray(b.mask).astype(np.float64)
+            cnt = np.asarray(b.count)
+            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            # diag of T^T T = T (projector): (1 - 1/k) per valid slot.
+            contrib = (1.0 - 1.0 / cnt)[:, None] * mask * w2[:, None]
+            np.add.at(d, idx, out_scale * contrib)
+        elif isinstance(b, AngleBatch):
+            idx = np.asarray(b.idx)
+            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            rowsq = np.array([2.0, 1.0, 1.0])
+            np.add.at(d, idx, out_scale * w2[:, None] * rowsq[None, :])
+        elif isinstance(b, EdgeLengthBatch):
+            idx = np.asarray(b.idx)
+            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            np.add.at(d, idx, out_scale * w2[:, None] * np.ones(2)[None, :])
+        else:
+            idx = np.asarray(b.idx)
+            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            np.add.at(d, idx, out_scale * w2)
+
+    for b in hard:
+        add(b, scale_w=False, out_scale=rho)
+    for b in soft:
+        add(b, scale_w=True)
+    if reg is not None:
+        idx, coef, mask = reg
+        np.add.at(d, idx, (coef * mask) ** 2)
+    return np.maximum(d, 1e-12)
+
+
+class ALMGeometrySolver:
+    """Host-side builder + driver mirroring the reference public API
+    (add_hard_constraint / add_soft_constraint / add_closeness /
+    add_*laplacian / setup_ADMM / solve_ADMM / get_solution / save,
+    ALMGeometrySolver.h:81-365)."""
+
+    def __init__(self, dense_threshold: int = 12000):
+        self.hard: List = []
+        self.soft: List = []
+        self.reg_rows: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        self.system: Optional[GeometrySystem] = None
+        self.dense_threshold = dense_threshold
+        self._solution = None
+        self.function_values: List[float] = []
+        self.elapsed_time: List[float] = []
+        self.anderson_reset: List[int] = []
+        self.dtype = np.float64
+
+    def add_hard_constraint(self, batch):
+        self.hard.append(batch)
+
+    def add_soft_constraint(self, batch):
+        self.soft.append(batch)
+
+    # -- regularization (LinearRegularization.h) --
+
+    def add_closeness(self, idx, weight, target_pt):
+        sw = np.sqrt(weight)
+        self.reg_rows.append((np.asarray([idx]), np.asarray([sw]),
+                              np.asarray(target_pt, np.float64) * sw))
+
+    def _add_laplacian_helper(self, indices, coefs, weight, ref_points=None):
+        sw = np.sqrt(weight)
+        idx = np.asarray(indices, np.int64)
+        coef = np.asarray(coefs, np.float64) * sw
+        target = np.zeros(3)
+        if ref_points is not None:
+            target = (np.asarray(ref_points)[idx]
+                      * np.asarray(coefs)[:, None]).sum(0) * sw
+        self.reg_rows.append((idx, coef, target))
+
+    def add_uniform_laplacian(self, indices, weight):
+        n = len(indices)
+        coefs = [1.0] + [-1.0 / (n - 1)] * (n - 1)
+        self._add_laplacian_helper(indices, coefs, weight)
+
+    def add_laplacian(self, indices, coefs, weight):
+        self._add_laplacian_helper(indices, coefs, weight)
+
+    def add_relative_uniform_laplacian(self, indices, weight, ref_points):
+        n = len(indices)
+        coefs = [1.0] + [-1.0 / (n - 1)] * (n - 1)
+        self._add_laplacian_helper(indices, coefs, weight, ref_points)
+
+    def add_relative_laplacian(self, indices, coefs, weight, ref_points):
+        self._add_laplacian_helper(indices, coefs, weight, ref_points)
+
+    # -- setup / solve --
+
+    def setup_ADMM(self, n_points: int, penalty_param: float,
+                   linear_solver: str = "auto") -> bool:
+        t = MicroTimer()
+        reg = None
+        rhs_fixed = np.zeros((n_points, 3))
+        if self.reg_rows:
+            K = max(len(r[0]) for r in self.reg_rows)
+            R = len(self.reg_rows)
+            idx = np.zeros((R, K), np.int32)
+            coef = np.zeros((R, K))
+            mask = np.zeros((R, K), bool)
+            target = np.zeros((R, 3))
+            for i, (ii, cc, tt) in enumerate(self.reg_rows):
+                idx[i, :len(ii)] = ii
+                coef[i, :len(ii)] = cc
+                mask[i, :len(ii)] = True
+                target[i] = tt
+            np.add.at(rhs_fixed, idx.reshape(-1),
+                      (coef[..., None] * target[:, None, :]).reshape(-1, 3))
+            reg = (idx, coef * mask, mask)
+
+        use_dense = (linear_solver == "dense"
+                     or (linear_solver == "auto"
+                         and n_points <= self.dense_threshold))
+        if use_dense:
+            A = assemble_geometry_node_matrix(
+                n_points, self.hard, self.soft, penalty_param, reg_rows=reg)
+            solver = DenseInverseSolver(Ainv=dense_inverse(A, dtype=self.dtype))
+            precond = None
+        else:
+            solver = None
+            precond = jnp.asarray(_geometry_node_diag(
+                n_points, self.hard, self.soft, penalty_param, reg))
+
+        reg_struct = None
+        if reg is not None and not use_dense:
+            idx, coef, mask = reg
+            target = np.stack([t for _, _, t in self.reg_rows])
+            reg_struct = RegRows(idx=jnp.asarray(idx), coef=jnp.asarray(coef),
+                                 mask=jnp.asarray(mask),
+                                 target=jnp.asarray(target))
+        self.system = GeometrySystem(
+            hard=tuple(self.hard), soft=tuple(self.soft),
+            solver=solver, precond_diag=precond,
+            rhs_fixed=jnp.asarray(rhs_fixed.astype(self.dtype)),
+            reg=reg_struct,
+            n_verts=n_points, rho=float(penalty_param))
+        print(f"predecomposition time = {t.elapsed_s():.6f}")
+        return True
+
+    def solve_ADMM(self, init_x: np.ndarray, rel_residual_eps: float,
+                   max_iter: int, anderson_m: int):
+        assert self.system is not None
+        self.system = dataclasses.replace(
+            self.system, max_iter=int(max_iter),
+            anderson_m=int(anderson_m), accel=anderson_m > 0)
+        x0 = jnp.asarray(np.asarray(init_x, self.dtype))
+        e0 = float(soft_energy(self.system, x0))
+        print(f"Init energy = {e0}")
+        t = MicroTimer()
+        trace = solve_alm(self.system, x0)
+        trace.x.block_until_ready()
+        total = t.elapsed_s()
+        self._solution = np.asarray(trace.x)
+        fv = np.asarray(trace.function_values)
+        valid = ~np.isnan(fv)
+        n = int(valid.sum())
+        self.function_values = [float(v) for v in fv[valid]]
+        self.elapsed_time = [total * (i + 1) / max(n, 1) for i in range(n)]
+        self.anderson_reset = [int(r) for r in np.asarray(trace.rejects)[valid]]
+        ef = float(soft_energy(self.system, trace.x))
+        print(f"final energy = {ef}")
+        return trace
+
+    def get_solution(self) -> np.ndarray:
+        return self._solution
+
+    def output_iteration_history(self):
+        for i, (t, v) in enumerate(zip(self.elapsed_time, self.function_values)):
+            line = f"Iteration {i}: {t:.6f} secs,  target value {v:.16g}"
+            if i < len(self.anderson_reset) and self.anderson_reset[i]:
+                line += " (reject accelerator)"
+            print(line)
+
+    def save(self, anderson_m: int, result_dir: str = "result"):
+        name = (f"residual-{anderson_m}.txt" if anderson_m > 0
+                else "residual-no.txt")
+        save_residual_file(os.path.join(result_dir, name),
+                           self.elapsed_time, self.function_values)

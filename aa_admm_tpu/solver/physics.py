@@ -1,0 +1,692 @@
+"""ADMM physics solver: time-stepping elastic simulation on TPU.
+
+Re-implements the reference ``admm::Solver`` family as pure JAX:
+
+* x->z->u order with Anderson acceleration on z
+  (admm_anderson_xzu/src/Solver.cpp:34-263)
+* z->x->u order with AA on the (u, x) pair and an ADMM penalty parameter,
+  plus per-vertex hard-collision energy terms
+  (admm_anderson_hard_zxu/src/Solver.cpp:34-234)
+
+The whole per-timestep ADMM loop — local prox sweeps, global solve, residual
+safeguard with reject/rollback, Anderson mixing, diagnostic combined
+residual — is a single compiled ``lax.scan``; the global step is one MXU
+matmul (dense-inverse) or matrix-free PCG. The free/fixed split (S_free /
+S_fix selection matrices, Solver.cpp:285-328) is realized with index arrays
+into fixed-shape full-vertex arrays: no dynamic shapes anywhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import os
+from functools import partial
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import AccelType, Lame, Settings
+from ..core.meshio import save_residual_file
+from ..core.timers import MicroTimer, RuntimeData
+from ..ops.elements import CollisionBatch, PinBatch, TetBatch, TriBatch
+from ..ops.sdf import SdfScene, SdfSceneBuilder
+from . import anderson
+from .linear import (DenseInverseSolver, assemble_node_diag,
+                     assemble_node_matrix, dense_inverse, pcg)
+
+_EPS_BREAK = 1e-20  # Solver.cpp:100 — combined-residual early-exit threshold
+
+
+class UpdateOrder(str, enum.Enum):
+    XZU = "xzu"  # AA on z
+    ZXU = "zxu"  # AA on (u, x); penalty parameter; collision terms
+
+
+def _static(**kw):
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class WindForce:
+    """Wejchert-Haumann aerodynamic per-triangle normal force applied as a
+    pre-ADMM velocity kick (ExplicitForce.cpp:47-104)."""
+
+    faces: jnp.ndarray      # (F, 3) int32
+    direction: jnp.ndarray  # (3,)
+    alpha_n: float = _static(default=1000.0)
+
+    def apply(self, dt, x, v, n_verts):
+        f = self.faces
+        curr_v = jnp.mean(v[f], axis=1)                       # (F, 3)
+        v_r = curr_v - self.direction
+        e1 = x[f[:, 1]] - x[f[:, 0]]
+        e2 = x[f[:, 2]] - x[f[:, 0]]
+        n = jnp.cross(e1, e2)
+        n_norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        normal = n / jnp.maximum(n_norm, 1e-300)
+        area = 0.5 * n_norm[..., 0]
+        v_n = jnp.sum(normal * v_r, axis=-1)
+        force = (-self.alpha_n * area * v_n * jnp.abs(v_n))[:, None] * normal
+        force = force * 0.33 * dt
+        dv = jax.ops.segment_sum(
+            jnp.repeat(force, 3, axis=0), f.reshape(-1), num_segments=n_verts)
+        return v + dv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PhysicsSystem:
+    """Immutable per-initialize() data: the TPU analogue of the folded
+    matrices of Solver::initialize (Solver.cpp:373-498)."""
+
+    masses: jnp.ndarray       # (n,) per-node lumped mass
+    free_mask: jnp.ndarray    # (n,) bool
+    free_idx: jnp.ndarray     # (nf,) int32
+    batches: tuple            # element batches, fixed order
+    solver: Optional[DenseInverseSolver]
+    precond_diag: Optional[jnp.ndarray]  # (nf,) for the PCG path
+    wind: Optional[WindForce]
+    n_verts: int = _static(default=0)
+    n_free: int = _static(default=0)
+    order: str = _static(default="xzu")
+    dt: float = _static(default=1.0 / 30.0)
+    gravity: float = _static(default=-9.8)
+    dt2p: float = _static(default=0.0)   # penalty * dt^2
+    admm_iters: int = _static(default=100)
+    anderson_m: int = _static(default=2)
+    accel: bool = _static(default=False)
+    collect_comb: bool = _static(default=True)
+    cg_tol: float = _static(default=1e-12)
+    cg_max_iters: int = _static(default=400)
+
+    # ---- element-sweep helpers (the functional L4->L2 interface) ----
+
+    def deform(self, x):
+        return tuple(b.deform(x) for b in self.batches)
+
+    def scatter(self, ts):
+        out = jnp.zeros((self.n_verts, 3), ts[0].dtype)
+        for b, t in zip(self.batches, ts):
+            out = out + b.scatter(t, self.n_verts)
+        return out
+
+def _wx(b, a, power=1):
+    w = b.w
+    extra = a.ndim - w.ndim
+    w = w.reshape(w.shape + (1,) * extra)
+    return (w ** power) * a
+
+
+def _tmap(fn, *trees):
+    return tuple(fn(*xs) for xs in zip(*trees))
+
+
+def _sqnorm_all(ts):
+    return sum(jnp.sum(t * t) for t in ts)
+
+
+def _flatten(ts):
+    return jnp.concatenate([t.ravel() for t in ts])
+
+
+def _unflatten(flat, templates):
+    out, off = [], 0
+    for t in templates:
+        size = int(np.prod(t.shape))
+        out.append(flat[off:off + size].reshape(t.shape))
+        off += size
+    return tuple(out)
+
+
+# ----------------------------------------------------------------------------
+# Shared per-step computations
+# ----------------------------------------------------------------------------
+
+def _prox_all(system: PhysicsSystem, vs):
+    return tuple(b.prox(v) for b, v in zip(system.batches, vs))
+
+
+def _grad_all(system: PhysicsSystem, zs):
+    return tuple(b.grad(z) for b, z in zip(system.batches, zs))
+
+
+def _update_z(system, x_full, u):
+    """EnergyTerm::update_z (EnergyTerm.hpp:167-179): z = prox(F(x) + u/w)."""
+    F = system.deform(x_full)
+    v = _tmap(lambda b, f, ui: f + _wx(b, ui, -1),
+              system.batches, F, u)
+    return _prox_all(system, v)
+
+
+def _prim_vec(system, x_full, z):
+    """W D x - W z - C = w (F(x) - z) per block (Solver.cpp:154)."""
+    F = system.deform(x_full)
+    return _tmap(lambda b, f, zb: _wx(b, f - zb), system.batches, F, z)
+
+
+def _solve_x(system: PhysicsSystem, M_xbar_free, z, u, c_blocks, base_full):
+    """Global step: x = A^-1 (M xbar + dt2p * D^T W (W z + C - u))
+    (Solver.cpp:148-149). c_blocks = F_b(pin embedding), constant per step."""
+    t = _tmap(lambda b, zb, ub, cb: _wx(b, zb - cb, 2) - _wx(b, ub),
+              system.batches, z, u, c_blocks)
+    s = system.scatter(t)
+    rhs = M_xbar_free + system.dt2p * s[system.free_idx]
+    if system.solver is not None:
+        xf = system.solver.solve(rhs)
+    else:
+        def operator(vf):
+            v_full = jnp.zeros((system.n_verts, 3), vf.dtype).at[
+                system.free_idx].set(vf)
+            tv = _tmap(lambda b, f: _wx(b, f, 2),
+                       system.batches, system.deform(v_full))
+            sv = system.scatter(tv)
+            return (system.masses[system.free_idx, None] * vf
+                    + system.dt2p * sv[system.free_idx])
+        xf, _ = pcg(operator, rhs, system.precond_diag,
+                    tol=system.cg_tol, max_iters=system.cg_max_iters)
+    return base_full.at[system.free_idx].set(xf)
+
+
+def _predict(system: PhysicsSystem, x, v, pin_pos):
+    """Explicit forces + gravity + inertia prediction (Solver.cpp:50-81)."""
+    dt = system.dt
+    if system.wind is not None:
+        v = system.wind.apply(dt, x, v, system.n_verts)
+    if abs(system.gravity) > 0:
+        g = jnp.zeros((3,), x.dtype).at[1].set(dt * system.gravity)
+        v = jnp.where(system.free_mask[:, None], v + g, v)
+    free = system.free_mask[:, None]
+    xbar_full = jnp.where(free, x + dt * v, pin_pos)
+    base_full = jnp.where(free, 0.0, pin_pos)
+    return v, xbar_full, base_full
+
+
+class StepTrace(NamedTuple):
+    prim: jnp.ndarray      # (iters,)
+    comb: jnp.ndarray      # (iters,)
+    reject: jnp.ndarray    # (iters,) int32
+    n_valid: jnp.ndarray   # ()
+    reset_count: jnp.ndarray  # ()
+
+
+# ----------------------------------------------------------------------------
+# x -> z -> u (AA on z) — admm_anderson_xzu/src/Solver.cpp:34-263
+# ----------------------------------------------------------------------------
+
+@jax.jit
+def step_xzu(system: PhysicsSystem, x, v, pin_pos):
+    dt = system.dt
+    v, xbar_full, base_full = _predict(system, x, v, pin_pos)
+    M_xbar_free = system.masses[system.free_idx, None] * xbar_full[system.free_idx]
+    c_blocks = system.deform(base_full)  # F_b of the pin embedding (= -C/w)
+
+    # ADMM init (Solver.cpp:84-117): z = F(xbar); one x-solve; one z-prox.
+    z = system.deform(xbar_full)
+    u = _tmap(jnp.zeros_like, z)
+    x_full = _solve_x(system, M_xbar_free, z, u, c_blocks, base_full)
+    z = _update_z(system, x_full, u)
+    aa0 = anderson.init(system.anderson_m, _flatten(z))
+
+    init = dict(x=x_full, z=z, u=u, dx=x_full, dz=z, du=u,
+                prev=jnp.asarray(1e20, x.dtype), aa=aa0,
+                done=jnp.asarray(False), resets=jnp.zeros((), jnp.int32))
+
+    accel = system.accel
+
+    def body(carry, _):
+        cx, cz, cu = carry["x"], carry["z"], carry["u"]
+        dx_, dz_, du_ = carry["dx"], carry["dz"], carry["du"]
+        aa = carry["aa"]
+
+        if accel:
+            # u <- W^-1 grad U(z) (Solver.cpp:127-133)
+            cu = _tmap(lambda b, g: _wx(b, g, -1), system.batches,
+                       _grad_all(system, cz))
+        else:
+            # u += Dx - Wz - C (Solver.cpp:138-141)
+            cu = _tmap(jnp.add, cu, _prim_vec(system, cx, cz))
+
+        cx = _solve_x(system, M_xbar_free, cz, cu, c_blocks, base_full)
+        prim = jnp.sqrt(_sqnorm_all(_prim_vec(system, cx, cz)))
+
+        if accel:
+            def do_reject(args):
+                cx, cz, cu, aa, prim = args
+                cz2, cx2, cu2 = dz_, dx_, du_
+                aa2 = anderson.replace(aa, _flatten(cz2))
+                cu2 = _tmap(jnp.add, cu2, _prim_vec(system, cx2, cz2))
+                cx2 = _solve_x(system, M_xbar_free, cz2, cu2, c_blocks, base_full)
+                prim2 = jnp.sqrt(_sqnorm_all(_prim_vec(system, cx2, cz2)))
+                return cx2, cz2, cu2, aa2, prim2
+
+            rejected = carry["prev"] < prim
+            cx, cz, cu, aa, prim = jax.lax.cond(
+                rejected, do_reject, lambda a: a, (cx, cz, cu, aa, prim))
+        else:
+            rejected = jnp.asarray(False)
+
+        prev = prim
+
+        if accel:
+            ndx, ndu = cx, cu
+            ndz = _update_z(system, cx, cu)
+            aa, zflat = anderson.compute(aa, _flatten(ndz))
+            cz = _unflatten(zflat, ndz)
+        else:
+            ndx, ndu = cx, cu
+            last_z = cz
+            cz = _update_z(system, cx, cu)
+            ndz = cz
+
+        # Diagnostic combined residual (Solver.cpp:216-238).
+        if system.collect_comb:
+            if accel:
+                comb_x = _solve_x(system, M_xbar_free, ndz, cu, c_blocks, base_full)
+                comb_z = _update_z(system, comb_x, cu)
+                dual = _tmap(lambda b, a, c: _wx(b, a - c),
+                             system.batches, comb_z, ndz)
+                comb = (_sqnorm_all(dual)
+                        + _sqnorm_all(_prim_vec(system, comb_x, comb_z)))
+            else:
+                dual = _tmap(lambda b, a, c: _wx(b, a - c),
+                             system.batches, cz, last_z)
+                comb = (_sqnorm_all(dual)
+                        + _sqnorm_all(_prim_vec(system, cx, cz)))
+        else:
+            comb = jnp.asarray(jnp.inf, x.dtype)
+
+        new = dict(x=cx, z=cz, u=cu, dx=ndx, dz=ndz, du=ndu, prev=prev, aa=aa,
+                   done=carry["done"] | (comb < _EPS_BREAK),
+                   resets=carry["resets"] + rejected.astype(jnp.int32))
+        # Freeze state once the eps-break fired (the reference breaks out;
+        # residuals for the breaking iteration are still recorded,
+        # Solver.cpp:241-250).
+        out = jax.tree_util.tree_map(
+            lambda a, c: jnp.where(carry["done"], a, c), carry, new)
+        rec_valid = ~carry["done"]
+        return out, (jnp.where(rec_valid, prim, jnp.nan),
+                     jnp.where(rec_valid, comb, jnp.nan),
+                     rejected.astype(jnp.int32) * rec_valid.astype(jnp.int32))
+
+    carry, (prims, combs, rejects) = jax.lax.scan(
+        body, init, None, length=system.admm_iters)
+
+    x_new = carry["x"]  # xzu commits curr_x (Solver.cpp:255-257)
+    v_new = (x_new - x) / dt
+    n_valid = jnp.sum(~jnp.isnan(prims))
+    return x_new, v_new, StepTrace(prims, combs, rejects, n_valid,
+                                   carry["resets"])
+
+
+# ----------------------------------------------------------------------------
+# z -> x -> u (AA on (u, x)) — admm_anderson_hard_zxu/src/Solver.cpp:34-234
+# ----------------------------------------------------------------------------
+
+@jax.jit
+def step_zxu(system: PhysicsSystem, x, v, pin_pos):
+    dt = system.dt
+    v, xbar_full, base_full = _predict(system, x, v, pin_pos)
+    M_xbar_free = system.masses[system.free_idx, None] * xbar_full[system.free_idx]
+    c_blocks = system.deform(base_full)
+
+    # Init sweep (zxu Solver.cpp:97-125): z-prox, x-solve, u-update.
+    u = tuple(jnp.zeros_like(zb) for zb in system.deform(xbar_full))
+    z = _update_z(system, xbar_full, u)
+    x_full = _solve_x(system, M_xbar_free, z, u, c_blocks, base_full)
+    u = _tmap(jnp.add, u, _prim_vec(system, x_full, z))
+
+    def flat_ux(u, xf):
+        return jnp.concatenate([_flatten(u), xf.ravel()])
+
+    xf0 = x_full[system.free_idx]
+    zu_size = sum(int(np.prod(t.shape)) for t in u)
+    aa0 = anderson.init(max(system.anderson_m, 1), flat_ux(u, xf0),
+                        effective_dim=zu_size)
+
+    init = dict(x=x_full, z=z, u=u, dx=x_full, du=u,
+                prev=jnp.asarray(1e20, x.dtype), aa=aa0,
+                done=jnp.asarray(False), resets=jnp.zeros((), jnp.int32))
+    accel = system.accel
+
+    def body(carry, _):
+        cx, cz, cu = carry["x"], carry["z"], carry["u"]
+        aa = carry["aa"]
+
+        cz = _update_z(system, cx, cu)
+        prim = jnp.sqrt(_sqnorm_all(_prim_vec(system, cx, cz)))
+
+        if accel:
+            def do_reject(args):
+                cx, cz, cu, aa, prim = args
+                cu2, cx2 = carry["du"], carry["dx"]
+                aa2 = anderson.reset(aa, flat_ux(cu2, cx2[system.free_idx]))
+                cz2 = _update_z(system, cx2, cu2)
+                prim2 = jnp.sqrt(_sqnorm_all(_prim_vec(system, cx2, cz2)))
+                return cx2, cz2, cu2, aa2, prim2
+
+            rejected = carry["prev"] < prim
+            cx, cz, cu, aa, prim = jax.lax.cond(
+                rejected, do_reject, lambda a: a, (cx, cz, cu, aa, prim))
+        else:
+            rejected = jnp.asarray(False)
+
+        last_x = cx
+        prev = prim
+        cx = _solve_x(system, M_xbar_free, cz, cu, c_blocks, base_full)
+
+        # Combined residual (zxu Solver.cpp:181-185).
+        prim_v = _prim_vec(system, cx, cz)
+        dual_F = system.deform(cx)
+        last_F = system.deform(last_x)
+        dual = _tmap(lambda b, a, c: _wx(b, a - c), system.batches, dual_F, last_F)
+        comb = _sqnorm_all(prim_v) + _sqnorm_all(dual)
+        done_now = comb < _EPS_BREAK
+
+        # u-update + AA happen only if the eps-break did not fire
+        # (zxu Solver.cpp:188-207: break precedes them).
+        cu2 = _tmap(jnp.add, cu, _prim_vec(system, cx, cz))
+        if accel:
+            ndu, ndx = cu2, cx
+            aa2, mixed = anderson.compute(aa, flat_ux(cu2, cx[system.free_idx]))
+            u_mixed = _unflatten(mixed[: sum(int(np.prod(t.shape)) for t in cu2)], cu2)
+            x_mixed = base_full.at[system.free_idx].set(
+                mixed[-system.n_free * 3:].reshape(system.n_free, 3))
+            cu3, cx3, aa3 = u_mixed, x_mixed, aa2
+        else:
+            ndu, ndx = cu2, cx
+            cu3, cx3, aa3 = cu2, cx, aa
+
+        def freeze(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(done_now, b, a), new, old)
+
+        cu3, cx3, aa3, ndu2, ndx2 = freeze(
+            (cu3, cx3, aa3, ndu, ndx),
+            (cu, cx, aa, carry["du"], carry["dx"]))
+
+        new = dict(x=cx3, z=cz, u=cu3, dx=ndx2, du=ndu2, prev=prev, aa=aa3,
+                   done=carry["done"] | done_now,
+                   resets=carry["resets"] + rejected.astype(jnp.int32))
+        out = jax.tree_util.tree_map(
+            lambda a, c: jnp.where(carry["done"], a, c), carry, new)
+        # zxu records residuals only for non-breaking iterations
+        # (push_back at Solver.cpp:209-212 is after the break).
+        rec_valid = (~carry["done"]) & (~done_now)
+        return out, (jnp.where(rec_valid, prim, jnp.nan),
+                     jnp.where(rec_valid, comb, jnp.nan),
+                     rejected.astype(jnp.int32) * rec_valid.astype(jnp.int32))
+
+    carry, (prims, combs, rejects) = jax.lax.scan(
+        body, init, None, length=system.admm_iters)
+
+    # Accelerated runs commit default_x, not the AA-mixed x (Solver.cpp:216-223).
+    x_new = carry["dx"] if accel else carry["x"]
+    v_new = (x_new - x) / dt
+    n_valid = jnp.sum(~jnp.isnan(prims))
+    return x_new, v_new, StepTrace(prims, combs, rejects, n_valid,
+                                   carry["resets"])
+
+
+# ----------------------------------------------------------------------------
+# Host orchestration — the public API surface of admm::Solver
+# ----------------------------------------------------------------------------
+
+class PhysicsSolver:
+    """Host-side scene builder + stepper (admm::Solver public API:
+    add_nodes / set_pins / add_obstacle / set_collisions / initialize /
+    step / save, Solver.hpp:95-151)."""
+
+    def __init__(self, order: UpdateOrder | str = UpdateOrder.XZU,
+                 dense_threshold: int = 12000):
+        self.order = UpdateOrder(order)
+        self.dense_threshold = dense_threshold
+        self.verts: List[np.ndarray] = []
+        self.masses: List[np.ndarray] = []
+        self._tet_groups = []      # (tets, lame, kind) with global indices
+        self._tri_groups = []
+        self.pins: dict[int, np.ndarray] = {}
+        self.collisions: dict[int, np.ndarray] = {}
+        self.sdf_builder = SdfSceneBuilder()
+        self.wind: Optional[WindForce] = None
+        self.system: Optional[PhysicsSystem] = None
+        self.x: Optional[np.ndarray] = None
+        self.v: Optional[np.ndarray] = None
+        self.settings = Settings()
+        self.initialized = False
+        # residual history across steps (for save())
+        self.step_prim: List[float] = []
+        self.step_comb: List[float] = []
+        self.step_reject: List[int] = []
+        self.step_times: List[float] = []
+        self.reset_num = 0
+        self.runtime = RuntimeData()
+
+    # ---- scene assembly ----
+
+    @property
+    def n_verts(self) -> int:
+        return sum(len(v) for v in self.verts)
+
+    def add_tetmesh(self, verts, tets, lame: Lame, kind: str = "linear",
+                    density: float = 1522.0):
+        """binding::add_tetmesh (AddMeshes.hpp:97-177): lumped masses at
+        rubber density 1522 kg/m^3, node append, per-tet energy terms."""
+        from ..core.factory import TetMeshData
+        offset = self.n_verts
+        mesh = TetMeshData(verts=np.asarray(verts, np.float64),
+                           tets=np.asarray(tets, np.int32))
+        m = mesh.weighted_masses(density)
+        if np.any(m <= 0):
+            raise ValueError("TetMesh Error: Zero mass")
+        self.verts.append(mesh.verts)
+        self.masses.append(m)
+        self._tet_groups.append((mesh.tets + offset, lame, kind))
+        return offset
+
+    def add_trimesh(self, verts, faces, lame: Lame, density: float = 1522.0,
+                    thickness: float = 1.0):
+        """binding::add_trimesh: cloth surface with area-lumped masses."""
+        offset = self.n_verts
+        verts = np.asarray(verts, np.float64)
+        faces = np.asarray(faces, np.int32)
+        e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+        e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+        area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+        m = np.zeros(len(verts))
+        np.add.at(m, faces.ravel(), np.repeat(density * thickness * area / 3.0, 3))
+        m = np.maximum(m, 1e-12)
+        self.verts.append(verts)
+        self.masses.append(m)
+        self._tri_groups.append((faces + offset, lame))
+        return offset
+
+    def set_pins(self, inds: Sequence[int], points: Optional[Sequence] = None):
+        """Solver::set_pins (Solver.cpp:330-363). Pin in place when points
+        is None; pinned vertex *set* may not change after initialize."""
+        x = self._all_verts() if self.x is None else self.x
+        new_pins = {}
+        for i, idx in enumerate(inds):
+            if points is None:
+                new_pins[int(idx)] = x[int(idx)].copy()
+            else:
+                new_pins[int(idx)] = np.asarray(points[i], np.float64)
+        if self.initialized and set(new_pins) != set(self.pins):
+            raise ValueError("pinned vertex set may not change after initialize")
+        self.pins = new_pins
+        if self.initialized:
+            self._refresh_pin_pos()
+
+    def set_collisions(self, inds, points=None):
+        """zxu Solver::set_collisions (Solver.cpp:318-344)."""
+        x = self._all_verts() if self.x is None else self.x
+        self.collisions = {}
+        for i, idx in enumerate(inds):
+            p = x[int(idx)] if points is None else np.asarray(points[i])
+            self.collisions[int(idx)] = p
+
+    def add_obstacle(self, kind: str, **kw):
+        """Solver::add_obstacle — analytic passive colliders."""
+        getattr(self.sdf_builder, f"add_{kind}")(**kw)
+
+    def set_wind(self, faces, direction, alpha_n: float = 1000.0):
+        self.wind = WindForce(
+            faces=jnp.asarray(np.asarray(faces, np.int32).reshape(-1, 3)),
+            direction=jnp.asarray(np.asarray(direction, np.float64)),
+            alpha_n=alpha_n)
+
+    def _all_verts(self) -> np.ndarray:
+        return (np.concatenate(self.verts, axis=0)
+                if self.verts else np.zeros((0, 3)))
+
+    def _refresh_pin_pos(self):
+        pp = np.array(self.x)
+        for idx, p in self.pins.items():
+            pp[idx] = p
+        self.pin_pos = pp
+
+    # ---- initialize ----
+
+    def initialize(self, settings: Optional[Settings] = None) -> bool:
+        """Solver::initialize (Solver.cpp:373-498): build batches, the free/
+        fixed split, and prefactor the global system."""
+        if settings is not None:
+            self.settings = settings
+        s = self.settings
+        if s.timestep_s <= 0.0:
+            s.timestep_s = 1.0 / 24.0
+        dtype = np.dtype(s.dtype)
+
+        x = self._all_verts()
+        n = len(x)
+        if n < 1:
+            return False
+        masses = np.concatenate(self.masses)
+
+        batches = []
+        for tets, lame, kind in self._tet_groups:
+            batches.append(TetBatch.from_mesh(x, tets, lame, kind=kind,
+                                              dtype=dtype))
+        variant = "zxu" if self.order == UpdateOrder.ZXU else "xzu"
+        for faces, lame in self._tri_groups:
+            batches.append(TriBatch.from_mesh(x, faces, lame, variant=variant,
+                                              dtype=dtype))
+        if self.collisions:
+            if self.order != UpdateOrder.ZXU:
+                raise ValueError(
+                    "collision energy terms exist only in the zxu variant "
+                    "(reference forbids obstacles with the LDLT xzu solver, "
+                    "Solver.cpp:486-489)")
+            scene = self.sdf_builder.build()
+            batches.append(CollisionBatch.create(
+                sorted(self.collisions), scene, dtype=dtype))
+        elif self.sdf_builder.floors or self.sdf_builder.spheres or \
+                self.sdf_builder.phs or self.sdf_builder.cyls or \
+                self.sdf_builder.slides:
+            if self.order == UpdateOrder.XZU:
+                raise ValueError("No collisions with the LDLT (xzu) solver")
+
+        free_mask = np.ones(n, bool)
+        for idx in self.pins:
+            free_mask[idx] = False
+        free_idx = np.nonzero(free_mask)[0].astype(np.int32)
+        nf = len(free_idx)
+
+        dt2p = s.penalty * s.timestep_s ** 2 if self.order == UpdateOrder.ZXU \
+            else s.timestep_s ** 2
+
+        use_dense = (s.linear_solver == "dense"
+                     or (s.linear_solver == "auto" and nf <= self.dense_threshold))
+        if use_dense:
+            A = dt2p * assemble_node_matrix(n, batches, dt2p=1.0, masses=None)
+            A[np.arange(n), np.arange(n)] += masses
+            A_free = A[np.ix_(free_idx, free_idx)]
+            solver = DenseInverseSolver(Ainv=dense_inverse(A_free, dtype=dtype))
+            precond = None
+        else:
+            diag = masses + dt2p * assemble_node_diag(n, batches)
+            solver = None
+            precond = jnp.asarray(diag[free_idx].astype(dtype))
+
+        self.system = PhysicsSystem(
+            masses=jnp.asarray(masses.astype(dtype)),
+            free_mask=jnp.asarray(free_mask),
+            free_idx=jnp.asarray(free_idx),
+            batches=tuple(batches),
+            solver=solver,
+            precond_diag=precond,
+            wind=self.wind,
+            n_verts=n, n_free=nf,
+            order=self.order.value,
+            dt=float(s.timestep_s), gravity=float(s.gravity),
+            dt2p=float(dt2p),
+            admm_iters=int(s.admm_iters),
+            anderson_m=int(s.anderson_m),
+            accel=bool(s.accelerated),
+            collect_comb=bool(s.collect_comb_residual),
+            cg_tol=float(s.cg_tol), cg_max_iters=int(s.cg_max_iters),
+        )
+        self.x = x.astype(dtype)
+        self.v = np.zeros_like(self.x)
+        self._refresh_pin_pos()
+        self.initialized = True
+        if s.verbose >= 1:
+            print(f"{n} nodes, {sum(1 for _ in batches)} element batches, "
+                  f"{nf} free, solver={'dense' if use_dense else 'cg'}")
+        return True
+
+    # ---- step ----
+
+    def step(self) -> StepTrace:
+        """One timestep (Solver::step). Updates x, v and appends residual
+        history; returns the per-iteration trace."""
+        assert self.initialized
+        t = MicroTimer()
+        fn = step_xzu if self.order == UpdateOrder.XZU else step_zxu
+        x_new, v_new, trace = fn(self.system,
+                                 jnp.asarray(self.x), jnp.asarray(self.v),
+                                 jnp.asarray(self.pin_pos))
+        x_new.block_until_ready()
+        elapsed = t.elapsed_ms()
+        self.x = np.asarray(x_new)
+        self.v = np.asarray(v_new)
+
+        prim = np.asarray(trace.prim)
+        comb = np.asarray(trace.comb)
+        rej = np.asarray(trace.reject)
+        valid = ~np.isnan(prim)
+        nv = int(valid.sum())
+        per_iter = elapsed / max(1, self.system.admm_iters)
+        t0 = self.step_times[-1] if self.step_times else 0.0
+        for i in np.nonzero(valid)[0]:
+            self.step_prim.append(float(prim[i]))
+            self.step_comb.append(float(comb[i]))
+            self.step_reject.append(int(rej[i]))
+            self.step_times.append(t0 + (i + 1) * per_iter)
+        self.reset_num += int(trace.reset_count)
+        self.runtime.step_time.append(elapsed)
+        if self.settings.verbose > 0:
+            print(f"step: {elapsed:.2f}ms, {nv} iters, "
+                  f"reset number = {int(trace.reset_count)}")
+        return trace
+
+    # ---- persistence (Solver::save / ::load, Solver.hpp:126-215) ----
+
+    def save(self, result_dir: str = "result"):
+        m = self.settings.anderson_m if self.settings.accelerated else 0
+        name = f"residual-{m}.txt" if m > 0 else "residual-no.txt"
+        reject = (self.step_reject if self.order == UpdateOrder.ZXU else None)
+        save_residual_file(os.path.join(result_dir, name),
+                           [t / 1e3 for t in self.step_times],
+                           self.step_prim, self.step_comb, reject)
+
+    def save_state(self, path: str):
+        np.savez(path, x=self.x, v=self.v)
+
+    def load_state(self, path: str):
+        d = np.load(path)
+        self.x, self.v = d["x"], d["v"]
+        self._refresh_pin_pos()

@@ -1,0 +1,145 @@
+"""ALM geometry solver tests: planarity optimization on a noisy quad grid,
+edge-length/angle constraints, regularization, and AA accept/reject."""
+
+import numpy as np
+import pytest
+
+from aa_admm_tpu.ops.constraints import (AngleBatch, ClosenessBatch,
+                                         EdgeLengthBatch, PlaneBatch,
+                                         RefSurfaceBatch)
+from aa_admm_tpu.solver.geometry import ALMGeometrySolver
+
+
+def _noisy_quad_grid(nx=4, ny=4, noise=0.2, seed=0):
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.arange(nx + 1, dtype=float),
+                         np.arange(ny + 1, dtype=float), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(),
+                      noise * rng.normal(size=xs.size)], axis=1)
+    faces = []
+    def vid(i, j):
+        return i * (ny + 1) + j
+    for i in range(nx):
+        for j in range(ny):
+            faces.append([vid(i, j), vid(i + 1, j), vid(i + 1, j + 1),
+                          vid(i, j + 1)])
+    return verts, faces
+
+
+def _planarity_err(verts, faces):
+    errs = []
+    for f in faces:
+        p = verts[f]
+        c = p - p.mean(0)
+        _, s, _ = np.linalg.svd(c, full_matrices=False)
+        errs.append(s[-1])
+    return np.max(errs)
+
+
+def test_planarity_optimization():
+    verts, faces = _noisy_quad_grid()
+    solver = ALMGeometrySolver()
+    solver.add_hard_constraint(PlaneBatch.create(faces, weight=1.0))
+    # Soft closeness to the noisy input keeps the mesh from collapsing.
+    solver.add_soft_constraint(ClosenessBatch.create(
+        list(range(len(verts))), weight=1.0, targets=verts))
+    solver.setup_ADMM(len(verts), penalty_param=1e3)
+    solver.solve_ADMM(verts, rel_residual_eps=1e-10, max_iter=100,
+                      anderson_m=5)
+    out = solver.get_solution()
+    e0 = _planarity_err(verts, faces)
+    e1 = _planarity_err(out, faces)
+    assert e1 < e0 * 1e-2
+    # the solution stays near the input (soft term)
+    assert np.abs(out - verts).max() < 1.0
+    # residual history recorded and decreasing overall
+    fv = solver.function_values
+    assert len(fv) == 100
+    assert fv[-1] < fv[0]
+
+
+def test_planarity_aa_beats_plain():
+    verts, faces = _noisy_quad_grid(5, 5, 0.3, seed=1)
+
+    def run(m):
+        s = ALMGeometrySolver()
+        s.add_hard_constraint(PlaneBatch.create(faces, weight=1.0))
+        s.add_soft_constraint(ClosenessBatch.create(
+            list(range(len(verts))), weight=1.0, targets=verts))
+        s.setup_ADMM(len(verts), penalty_param=1e3)
+        s.solve_ADMM(verts, 1e-10, 60, m)
+        return s.function_values
+
+    fv_plain = run(0)
+    fv_aa = run(5)
+    assert fv_aa[-1] < fv_plain[-1]
+
+
+def test_edge_length_constraint():
+    # Two points pulled to unit distance by a hard edge constraint + soft
+    # closeness anchors.
+    verts = np.array([[0.0, 0, 0], [3.0, 0, 0]])
+    solver = ALMGeometrySolver()
+    solver.add_hard_constraint(EdgeLengthBatch.create(
+        [[0, 1]], weight=1.0, target_length=1.0))
+    solver.add_soft_constraint(ClosenessBatch.create([0, 1], 1.0, verts))
+    solver.setup_ADMM(2, penalty_param=1e4)
+    solver.solve_ADMM(verts, 1e-12, 200, 0)
+    out = solver.get_solution()
+    assert abs(np.linalg.norm(out[1] - out[0]) - 1.0) < 1e-3
+
+
+def test_angle_constraint_opens_angle():
+    # Narrow V: tip at origin, sides at ~10 degrees; clamp to [45, 135] deg.
+    verts = np.array([[0.0, 0, 0], [1.0, 0, 0],
+                      [np.cos(np.deg2rad(10)), np.sin(np.deg2rad(10)), 0]])
+    solver = ALMGeometrySolver()
+    solver.add_hard_constraint(AngleBatch.create(
+        [[0, 1, 2]], weight=1.0, min_radian=np.pi / 4,
+        max_radian=3 * np.pi / 4))
+    solver.add_soft_constraint(ClosenessBatch.create([0, 1, 2], 1.0, verts))
+    solver.setup_ADMM(3, penalty_param=1e4)
+    solver.solve_ADMM(verts, 1e-12, 300, 0)
+    out = solver.get_solution()
+    v1, v2 = out[1] - out[0], out[2] - out[0]
+    ang = np.arccos(np.dot(v1, v2) / np.linalg.norm(v1) / np.linalg.norm(v2))
+    assert ang > np.pi / 4 - 1e-2
+
+
+def test_ref_surface_constraint():
+    # Project points onto the z=0 unit square surface (two triangles).
+    ref_v = np.array([[0.0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]])
+    ref_f = np.array([[0, 1, 2], [0, 2, 3]])
+    verts = np.array([[0.3, 0.4, 0.5], [0.8, 0.2, -0.7]])
+    solver = ALMGeometrySolver()
+    # hard: keep edge length; soft: stick to surface
+    solver.add_soft_constraint(RefSurfaceBatch.create(
+        [0, 1], weight=10.0, ref_verts=ref_v, ref_faces=ref_f))
+    solver.add_hard_constraint(EdgeLengthBatch.create(
+        [[0, 1]], weight=1.0,
+        target_length=np.linalg.norm(verts[1] - verts[0])))
+    solver.setup_ADMM(2, penalty_param=100.0)
+    solver.solve_ADMM(verts, 1e-12, 150, 3)
+    out = solver.get_solution()
+    assert np.abs(out[:, 2]).max() < 5e-2  # near the z=0 surface
+
+
+def test_laplacian_regularization_smooths():
+    rng = np.random.default_rng(3)
+    n = 20
+    line = np.stack([np.arange(n, dtype=float),
+                     rng.normal(size=n) * 0.5, np.zeros(n)], axis=1)
+    solver = ALMGeometrySolver()
+    # Hard constraints required by the formulation: pin ends via closeness.
+    solver.add_hard_constraint(ClosenessBatch.create(
+        [0, n - 1], 1.0, line[[0, n - 1]]))
+    for i in range(1, n - 1):
+        solver.add_uniform_laplacian([i, i - 1, i + 1], weight=10.0)
+    solver.add_soft_constraint(ClosenessBatch.create(
+        list(range(n)), weight=0.01, targets=line))
+    solver.setup_ADMM(n, penalty_param=1e3)
+    solver.solve_ADMM(line, 1e-12, 100, 0)
+    out = solver.get_solution()
+    rough = np.abs(np.diff(out[:, 1], 2)).max()
+    rough0 = np.abs(np.diff(line[:, 1], 2)).max()
+    assert rough < rough0 * 0.1

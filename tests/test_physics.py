@@ -1,0 +1,141 @@
+"""End-to-end physics solver tests on a small beams-like scene: ADMM residual
+behavior, pin handling, energy sanity, Anderson acceleration quality, and the
+zxu order with collisions."""
+
+import numpy as np
+import pytest
+
+from aa_admm_tpu.core.config import AccelType, Lame, Settings
+from aa_admm_tpu.core.factory import make_tet_blocks
+from aa_admm_tpu.solver.physics import PhysicsSolver, UpdateOrder
+
+
+def _small_beam_solver(order=UpdateOrder.XZU, kind="linear", accel=False,
+                       m=4, iters=50, linear_solver="auto"):
+    mesh = make_tet_blocks(4, 2, 2)
+    lo, hi = mesh.bounds()
+    mesh.verts = (mesh.verts - 0.5 * (lo + hi)) / (hi - lo)[1]
+
+    s = Settings()
+    s.admm_iters = iters
+    s.verbose = 0
+    s.linear_solver = linear_solver
+    if accel:
+        s.acceleration_type = AccelType.ANDERSON
+        s.anderson_m = m
+
+    solver = PhysicsSolver(order=order)
+    solver.add_tetmesh(mesh.verts, mesh.tets,
+                       Lame.from_young_poisson(1e6, 0.35), kind=kind)
+    min_x = mesh.verts[:, 0].min() + 1e-3
+    pins = [i for i, v in enumerate(mesh.verts) if v[0] < min_x]
+    solver.set_pins(pins)
+    solver.initialize(s)
+    return solver, pins
+
+
+def test_pins_hold_and_dynamics_sane():
+    solver, pins = _small_beam_solver()
+    x0 = solver.x.copy()
+    for _ in range(3):
+        solver.step()
+    # Pinned vertices unchanged
+    assert np.allclose(solver.x[pins], x0[pins], atol=1e-12)
+    # Free vertices fell under gravity
+    free = np.setdiff1d(np.arange(len(x0)), pins)
+    assert solver.x[free, 1].mean() < x0[free, 1].mean()
+    assert np.all(np.isfinite(solver.x))
+    assert np.all(np.isfinite(solver.v))
+
+
+def test_residual_decreases_within_step():
+    solver, _ = _small_beam_solver(iters=60)
+    trace = solver.step()
+    prim = np.asarray(trace.prim)
+    assert np.all(np.isfinite(prim))
+    # ADMM converges: last primal residual much below the early ones
+    assert prim[-1] < prim[2] * 0.9
+    comb = np.asarray(trace.comb)
+    assert comb[-1] < comb[2]
+
+
+@pytest.mark.parametrize("kind", ["linear", "neohookean", "stvk"])
+def test_materials_run(kind):
+    solver, _ = _small_beam_solver(kind=kind, iters=20)
+    trace = solver.step()
+    assert np.all(np.isfinite(np.asarray(trace.prim)))
+    assert np.all(np.isfinite(solver.x))
+
+
+def test_anderson_accelerates_xzu():
+    plain, _ = _small_beam_solver(accel=False, iters=60)
+    accel, _ = _small_beam_solver(accel=True, m=5, iters=60)
+    tp = plain.step()
+    ta = accel.step()
+    # Accelerated run reaches a combined residual at its last valid iteration
+    # (possibly the 1e-20 early-exit) no worse than plain's final one.
+    cp = np.asarray(tp.comb)
+    ca = np.asarray(ta.comb)
+    cp = cp[~np.isnan(cp)]
+    ca = ca[~np.isnan(ca)]
+    assert ca[-1] < cp[-1]
+    # Early exit or equal iteration count, never more.
+    assert len(ca) <= len(cp)
+
+
+def test_zxu_order_runs_and_accelerates():
+    plain, _ = _small_beam_solver(order=UpdateOrder.ZXU, accel=False, iters=60)
+    accel, _ = _small_beam_solver(order=UpdateOrder.ZXU, accel=True, m=5,
+                                  iters=60)
+    tp = plain.step()
+    ta = accel.step()
+    cp = np.asarray(tp.comb)
+    ca = np.asarray(ta.comb)
+    cp = cp[~np.isnan(cp)]
+    ca = ca[~np.isnan(ca)]
+    assert np.isfinite(ca[-1])
+    assert ca[-1] < cp[-1]
+
+
+def test_cg_matches_dense():
+    d, _ = _small_beam_solver(iters=25, linear_solver="dense")
+    c, _ = _small_beam_solver(iters=25, linear_solver="cg")
+    td = d.step()
+    tc = c.step()
+    assert np.allclose(d.x, c.x, rtol=1e-8, atol=1e-10)
+    assert np.allclose(np.asarray(td.prim), np.asarray(tc.prim),
+                       rtol=1e-6, atol=1e-10)
+
+
+def test_zxu_collision_floor():
+    mesh = make_tet_blocks(2, 2, 2)
+    lo, hi = mesh.bounds()
+    mesh.verts = (mesh.verts - 0.5 * (lo + hi))  # box centered at origin
+
+    s = Settings()
+    s.admm_iters = 15
+    s.verbose = 0
+    solver = PhysicsSolver(order=UpdateOrder.ZXU)
+    solver.add_tetmesh(mesh.verts, mesh.tets, Lame.rubber())
+    solver.add_obstacle("floor", y=-2.0)
+    solver.set_collisions(list(range(len(mesh.verts))))
+    solver.initialize(s)
+    for _ in range(40):
+        solver.step()
+    # The box fell but the floor stopped it (some tolerance for softness).
+    assert solver.x[:, 1].min() > -2.3
+    assert solver.x[:, 1].min() < -0.5
+    assert np.all(np.isfinite(solver.x))
+
+
+def test_residual_file_format(tmp_path):
+    solver, _ = _small_beam_solver(iters=10)
+    solver.step()
+    solver.save(str(tmp_path))
+    f = tmp_path / "residual-no.txt"
+    assert f.exists()
+    rows = [line.split("\t") for line in f.read_text().strip().split("\n")]
+    assert len(rows) == 10
+    assert len(rows[0]) == 2 + (1 if solver.order == UpdateOrder.ZXU else 0) + 1
+    times = [float(r[0]) for r in rows]
+    assert all(t1 >= t0 for t0, t1 in zip(times, times[1:]))
