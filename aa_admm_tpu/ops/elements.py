@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import Lame
+from . import mat3
 from . import prox as proxops
 from .sdf import SdfScene
 
@@ -84,11 +85,11 @@ class TetBatch:
         """D x: per-element deformation gradient from positions x (n, 3)."""
         g = x[self.tets]                                   # (E, 4, 3)
         edges = jnp.swapaxes(g[:, 1:] - g[:, :1], -1, -2)  # (E, 3, 3) cols=edges
-        return jnp.einsum("eij,ejk->eik", edges, self.Dm_inv)
+        return mat3.mmul(edges, self.Dm_inv)
 
     def scatter(self, t, n_verts):
         """D^T t: adjoint of deform, scattered to vertex space (n, 3)."""
-        dE = jnp.einsum("eij,ekj->eik", t, self.Dm_inv)    # (E, 3, 3) cols=edge grads
+        dE = mat3.mmult(t, self.Dm_inv)                    # (E, 3, 3) cols=edge grads
         c = jnp.swapaxes(dE, -1, -2)                       # (E, 3edges, 3coords)
         contrib = jnp.concatenate([-jnp.sum(c, axis=1, keepdims=True), c], axis=1)
         return jax.ops.segment_sum(contrib.reshape(-1, 3), self.tets.reshape(-1),
@@ -184,10 +185,10 @@ class TriBatch:
     def deform(self, x):
         g = x[self.tris]                                    # (E, 3, 3)
         edges = jnp.swapaxes(g[:, 1:] - g[:, :1], -1, -2)   # (E, 3, 2) cols
-        return jnp.einsum("eij,ejk->eik", edges, self.rest_inv)
+        return mat3.mmul32_22(edges, self.rest_inv)
 
     def scatter(self, t, n_verts):
-        dE = jnp.einsum("eij,ekj->eik", t, self.rest_inv)   # (E, 3, 2)
+        dE = mat3.mmult32(t, self.rest_inv)                 # (E, 3, 2)
         c = jnp.swapaxes(dE, -1, -2)                        # (E, 2, 3)
         contrib = jnp.concatenate([-jnp.sum(c, axis=1, keepdims=True), c], axis=1)
         return jax.ops.segment_sum(contrib.reshape(-1, 3), self.tris.reshape(-1),

@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import mat3
 from .svd3 import svd3x3, svd3x2
 
 _NEWTON_ITERS = 12
@@ -36,10 +37,9 @@ def prox_tet_linear(v, mu, lam, k, svd_method: str = "jacobi"):
     """
     del mu, lam, k
     U, S, V = svd3x3(v, method=svd_method)
-    s3 = jnp.where(jnp.linalg.det(v) < 1e-16, -1.0, 1.0)
-    ones = jnp.ones_like(S)
-    sig = ones.at[..., 2].set(s3)
-    P = jnp.einsum("...ik,...k,...jk->...ij", U, sig, V)
+    s3 = jnp.where(mat3.det(v) < 1e-16, -1.0, 1.0)
+    sig = jnp.stack([jnp.ones_like(s3), jnp.ones_like(s3), s3], axis=-1)
+    P = mat3.usv(U, sig, V)
     return 0.5 * (P + v)
 
 
@@ -47,7 +47,7 @@ def grad_tet_linear(z, mu, lam, k, vol, svd_method: str = "jacobi"):
     """k*vol*(F - U V^T) (TetEnergyTerm::get_gradient, TetEnergyTerm.cpp:156-165)."""
     del mu, lam
     U, _, V = svd3x3(z, method=svd_method)
-    R = jnp.einsum("...ik,...jk->...ij", U, V)
+    R = mat3.mmult(U, V)
     return (k * vol)[..., None, None] * (z - R)
 
 
@@ -67,8 +67,8 @@ def _signed_svd3x3(F, svd_method):
     of det(F) and the last column of U is flipped accordingly (same convention
     as FastSVD::signed_svd, admm_anderson_xzu/src/FastSVD.hpp:37-62)."""
     U, S, V = svd3x3(F, method=svd_method)
-    detU = jnp.linalg.det(U)
-    detV = jnp.linalg.det(V)
+    detU = mat3.det(U)
+    detV = mat3.det(V)
     # Make V a rotation by flipping its last column; compensate in sigma.
     V = V.at[..., :, 2].multiply(detV[..., None])
     U = U.at[..., :, 2].multiply(detU[..., None])
@@ -138,9 +138,9 @@ def _sigma_newton(sv, mu, lam, k, grad_hess, value, iters=_NEWTON_ITERS):
     def body(s, _):
         g, H = grad_hess(s, sv, mu, lam, k)
         # Levenberg damping keeps H PD far from the optimum.
-        lam_reg = 1e-9 * jnp.maximum(1.0, jnp.abs(jnp.trace(H, axis1=-2, axis2=-1)))
+        lam_reg = 1e-9 * jnp.maximum(1.0, jnp.abs(mat3.trace(H)))
         Hd = H + lam_reg[..., None, None] * jnp.eye(3, dtype=s.dtype)
-        step = jnp.linalg.solve(Hd, g[..., None])[..., 0]
+        step = mat3.solve(Hd, g)
         f0 = value(s, sv, mu, lam, k)
         # Backtracking over fixed candidate step scales (branch-free select).
         best_s, best_f = s, f0
@@ -161,7 +161,7 @@ def prox_tet_neohookean(v, mu, lam, k, svd_method: str = "jacobi"):
     (NeoHookeanTet::NHProx, TetEnergyTerm.cpp:221-267)."""
     U, S, V = _signed_svd3x3(v, svd_method)
     s = _sigma_newton(S, mu, lam, k, _nh_grad_hess, _nh_value)
-    return jnp.einsum("...ik,...k,...jk->...ij", U, s, V)
+    return mat3.usv(U, s, V)
 
 
 def prox_tet_stvk(v, mu, lam, k, svd_method: str = "jacobi"):
@@ -169,7 +169,7 @@ def prox_tet_stvk(v, mu, lam, k, svd_method: str = "jacobi"):
     (StVKTet::StVKProx, TetEnergyTerm.cpp:272-319)."""
     U, S, V = _signed_svd3x3(v, svd_method)
     s = _sigma_newton(S, mu, lam, k, _stvk_grad_hess, _stvk_value)
-    return jnp.einsum("...ik,...k,...jk->...ij", U, s, V)
+    return mat3.usv(U, s, V)
 
 
 def grad_tet_neohookean(z, mu, lam, k, vol):
@@ -177,9 +177,9 @@ def grad_tet_neohookean(z, mu, lam, k, vol):
     (NHProx::U_gradient, TetEnergyTerm.cpp:262-267, scaled by vol as in
     HyperElasticTet::get_gradient, cpp:204-215)."""
     del k
-    Finv = jnp.linalg.inv(z)
-    FinvT = jnp.swapaxes(Finv, -1, -2)
-    J = jnp.linalg.det(z)
+    J = mat3.det(z)
+    FinvT = jnp.swapaxes(mat3.adjugate(z), -1, -2) / jnp.where(
+        J == 0, 1e-300, J)[..., None, None]
     logJ = jnp.log(jnp.maximum(J, 1e-300))
     G = mu[..., None, None] * (z - FinvT) + (lam * logJ)[..., None, None] * FinvT
     return vol[..., None, None] * G
@@ -190,18 +190,18 @@ def grad_tet_stvk(z, mu, lam, k, vol):
     (StVKProx::U_gradient, TetEnergyTerm.cpp:313-319)."""
     del k
     I = jnp.eye(3, dtype=z.dtype)
-    E = 0.5 * (jnp.einsum("...ji,...jk->...ik", z, z) - I)
-    trE = jnp.trace(E, axis1=-2, axis2=-1)
-    G = jnp.einsum("...ij,...jk->...ik",
-                   z, 2.0 * mu[..., None, None] * E + (lam * trE)[..., None, None] * I)
+    E = 0.5 * (mat3.mtmul(z, z) - I)
+    trE = mat3.trace(E)
+    G = mat3.mmul(z, 2.0 * mu[..., None, None] * E
+                  + (lam * trE)[..., None, None] * I)
     return vol[..., None, None] * G
 
 
 def energy_tet_neohookean(z, mu, lam, k, vol):
     """vol * psi_NH (NHProx::energy_density, TetEnergyTerm.cpp:221-237)."""
     del k
-    J = jnp.linalg.det(z)
-    I1 = jnp.einsum("...ij,...ij->...", z, z)
+    J = mat3.det(z)
+    I1 = mat3.frob2(z)
     logI3 = jnp.log(jnp.maximum(J * J, 1e-300))
     return vol * (0.5 * mu * (I1 - logI3 - 3.0) + 0.125 * lam * logI3 * logI3)
 
@@ -209,9 +209,9 @@ def energy_tet_neohookean(z, mu, lam, k, vol):
 def energy_tet_stvk(z, mu, lam, k, vol):
     del k
     I = jnp.eye(3, dtype=z.dtype)
-    E = 0.5 * (jnp.einsum("...ji,...jk->...ik", z, z) - I)
-    trE = jnp.trace(E, axis1=-2, axis2=-1)
-    return vol * (mu * jnp.einsum("...ij,...ij->...", E, E) + 0.5 * lam * trE * trE)
+    E = 0.5 * (mat3.mtmul(z, z) - I)
+    trE = mat3.trace(E)
+    return vol * (mu * mat3.frob2(E) + 0.5 * lam * trE * trE)
 
 
 # ----------------------------------------------------------------------------
@@ -226,7 +226,7 @@ def prox_tri_zxu(v, limit_min, limit_max):
     check = (limit_min > 0.0) | (limit_max < 99.0)
     clamped = jnp.clip(sig, limit_min[..., None], limit_max[..., None])
     sig = jnp.where(check[..., None], clamped, sig)
-    return jnp.einsum("...ik,...k,...jk->...ij", U, sig, V)
+    return mat3.usv32(U, sig, V)
 
 
 def prox_tri_xzu(v, limit_min, limit_max):
@@ -234,7 +234,7 @@ def prox_tri_xzu(v, limit_min, limit_max):
     *column norms* of z (admm_anderson_xzu/src/TriEnergyTerm.cpp:67-105)."""
     U, S, V = svd3x2(v)
     sig = 0.5 * (1.0 + S)
-    z = jnp.einsum("...ik,...k,...jk->...ij", U, sig, V)
+    z = mat3.usv32(U, sig, V)
     check = (limit_min > 0.0) | (limit_max < 99.0)
     norms = jnp.linalg.norm(z, axis=-2, keepdims=True)  # per-column
     scale = jnp.clip(norms, limit_min[..., None, None],
@@ -258,7 +258,7 @@ def grad_tri(z, mu, lam, k, area):
     cloth analogue of the linear-tet gradient."""
     del mu, lam
     U, _, V = svd3x2(z)
-    P = jnp.einsum("...ik,...jk->...ij", U, V)
+    P = mat3.mmult32(U, V)
     return (k * area)[..., None, None] * (z - P)
 
 
@@ -266,7 +266,7 @@ def energy_tri(z, mu, lam, k, area):
     """0.5*k*area*||F - UV^T||^2 (TriEnergyTerm::energy, zxu cpp:134-144)."""
     del mu, lam
     U, _, V = svd3x2(z)
-    P = jnp.einsum("...ik,...jk->...ij", U, V)
+    P = mat3.mmult32(U, V)
     return 0.5 * k * area * jnp.sum((z - P) ** 2, axis=(-2, -1))
 
 

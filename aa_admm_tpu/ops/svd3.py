@@ -16,6 +16,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from . import mat3
+
 _JACOBI_SWEEPS = 6  # cyclic sweeps; 3-4 converges for well-conditioned F, 6 is safe
 
 
@@ -33,22 +35,43 @@ def _jacobi_rotation(app, aqq, apq):
 
 
 def _apply_jacobi(A, V, p, q):
-    """One Jacobi rotation on symmetric A (batch..., 3, 3), accumulated into V."""
+    """One Jacobi rotation on symmetric A (batch..., 3, 3), accumulated into
+    V — fully scalarized (component updates, no matrix products) so the whole
+    sweep chain fuses into one elementwise TPU kernel."""
     c, s = _jacobi_rotation(A[..., p, p], A[..., q, q], A[..., p, q])
-    # Build the Givens rotation J (identity except rows/cols p,q).
-    J = jnp.zeros_like(A).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0).at[..., 2, 2].set(1.0)
-    J = J.at[..., p, p].set(c).at[..., q, q].set(c)
-    J = J.at[..., p, q].set(s).at[..., q, p].set(-s)
-    A = jnp.einsum("...ji,...jk,...kl->...il", J, A, J)
-    V = jnp.einsum("...ij,...jk->...ik", V, J)
-    return A, V
+    r = 3 - p - q  # the untouched index
+    app, aqq, apq = A[..., p, p], A[..., q, q], A[..., p, q]
+    apr, aqr = A[..., p, r], A[..., q, r]
+    new_pp = c * c * app - 2.0 * c * s * apq + s * s * aqq
+    new_qq = s * s * app + 2.0 * c * s * apq + c * c * aqq
+    new_pr = c * apr - s * aqr
+    new_qr = s * apr + c * aqr
+    zero = jnp.zeros_like(app)
+
+    cols = [None, None, None]
+    vals = {(p, p): new_pp, (q, q): new_qq, (r, r): A[..., r, r],
+            (p, q): zero, (q, p): zero,
+            (p, r): new_pr, (r, p): new_pr,
+            (q, r): new_qr, (r, q): new_qr}
+    A_new = jnp.stack([jnp.stack([vals[(i, j)] for j in range(3)], -1)
+                       for i in range(3)], -2)
+
+    vp = [V[..., i, p] for i in range(3)]
+    vq = [V[..., i, q] for i in range(3)]
+    vcols = {p: [c * vp[i] - s * vq[i] for i in range(3)],
+             q: [s * vp[i] + c * vq[i] for i in range(3)],
+             r: [V[..., i, r] for i in range(3)]}
+    V_new = jnp.stack([jnp.stack([vcols[j][i] for j in range(3)], -1)
+                       for i in range(3)], -2)
+    del cols
+    return A_new, V_new
 
 
 def eigh3x3(A, sweeps: int = _JACOBI_SWEEPS):
     """Eigendecomposition of symmetric 3x3 batch via cyclic Jacobi.
 
     Returns (eigvals (...,3), V (...,3,3)) unsorted."""
-    V = jnp.zeros_like(A).at[..., 0, 0].set(1.0).at[..., 1, 1].set(1.0).at[..., 2, 2].set(1.0)
+    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
     for _ in range(sweeps):
         for (p, q) in ((0, 1), (0, 2), (1, 2)):
             A, V = _apply_jacobi(A, V, p, q)
@@ -57,9 +80,23 @@ def eigh3x3(A, sweeps: int = _JACOBI_SWEEPS):
 
 
 def _sort_desc3(w, V):
-    order = jnp.argsort(-w, axis=-1)
-    w = jnp.take_along_axis(w, order, axis=-1)
-    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    """Descending sort of 3 eigenpairs via a branch-free sorting network
+    (3 compare-swaps) — no gathers."""
+    def swap(wi, wj, vi, vj):
+        cond = wi < wj
+        return (jnp.where(cond, wj, wi), jnp.where(cond, wi, wj),
+                [jnp.where(cond, b, a) for a, b in zip(vi, vj)],
+                [jnp.where(cond, a, b) for a, b in zip(vi, vj)])
+
+    w0, w1, w2 = w[..., 0], w[..., 1], w[..., 2]
+    v0 = [V[..., i, 0] for i in range(3)]
+    v1 = [V[..., i, 1] for i in range(3)]
+    v2 = [V[..., i, 2] for i in range(3)]
+    w0, w1, v0, v1 = swap(w0, w1, v0, v1)
+    w1, w2, v1, v2 = swap(w1, w2, v1, v2)
+    w0, w1, v0, v1 = swap(w0, w1, v0, v1)
+    w = jnp.stack([w0, w1, w2], -1)
+    V = jnp.stack([jnp.stack([v0[i], v1[i], v2[i]], -1) for i in range(3)], -2)
     return w, V
 
 
@@ -70,7 +107,7 @@ def _orthonormal_u(F, V, S):
     reliable magnitude keep their exact direction and sign, so det(U) = -1
     cases (reflections) reconstruct correctly."""
     tiny = jnp.asarray(1e-300 if F.dtype == jnp.float64 else 1e-30, F.dtype)
-    FV = jnp.einsum("...ij,...jk->...ik", F, V)
+    FV = mat3.mmul(F, V)
     tol = (jnp.maximum(S[..., 0], 1.0)
            * (1e-12 if F.dtype == jnp.float64 else 1e-5))[..., None]
 
@@ -107,7 +144,7 @@ def svd3x3(F, method: str = "jacobi"):
     if method == "lapack":
         U, S, Vh = jnp.linalg.svd(F, full_matrices=True)
         return U, S, jnp.swapaxes(Vh, -1, -2)
-    A = jnp.einsum("...ji,...jk->...ik", F, F)
+    A = mat3.mtmul(F, F)
     w, V = eigh3x3(A)
     w, V = _sort_desc3(w, V)
     S = jnp.sqrt(jnp.maximum(w, 0.0))
@@ -121,7 +158,7 @@ def svd3x2(F):
 
     Closed form via the 2x2 symmetric eigenproblem of F^T F (branch-free)."""
     eps = jnp.asarray(1e-150 if F.dtype == jnp.float64 else 1e-20, F.dtype)
-    A = jnp.einsum("...ji,...jk->...ik", F, F)  # (...,2,2) symmetric
+    A = mat3.gram22(F)  # (...,2,2) symmetric
     a, b, d = A[..., 0, 0], A[..., 0, 1], A[..., 1, 1]
     tr = a + d
     disc = jnp.sqrt(jnp.maximum((a - d) ** 2 + 4.0 * b * b, 0.0))
@@ -138,7 +175,7 @@ def svd3x2(F):
     v2 = jnp.stack([-v1[..., 1], v1[..., 0]], axis=-1)
     V = jnp.stack([v1, v2], axis=-1)
     S = jnp.sqrt(jnp.maximum(jnp.stack([l1, l2], axis=-1), 0.0))
-    FV = jnp.einsum("...ij,...jk->...ik", F, V)
+    FV = mat3.mmul32_22(F, V)
     U = FV / jnp.maximum(S[..., None, :], eps)
 
     def norm(v):
@@ -158,4 +195,4 @@ def polar_rotation3x3(F, method: str = "jacobi"):
     """R = U V^T from the SVD (the corotation used in the linear-tet gradient,
     TetEnergyTerm.cpp:144-165)."""
     U, _, V = svd3x3(F, method=method)
-    return jnp.einsum("...ij,...kj->...ik", U, V)
+    return mat3.mmult(U, V)
