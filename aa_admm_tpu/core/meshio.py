@@ -15,7 +15,15 @@ from .factory import TetMeshData, TriMeshData
 
 
 def load_obj(path: str) -> TriMeshData:
-    """Parse vertices + triangular faces from OBJ (polygons are fan-split)."""
+    """Parse vertices + triangular faces from OBJ (polygons are fan-split).
+    Uses the native C++ parser when built; NumPy fallback below."""
+    try:
+        from .. import native
+        out = native.load_obj_native(path)
+        if out is not None:
+            return TriMeshData(verts=out[0], faces=out[1])
+    except Exception:
+        pass
     verts, faces = [], []
     with open(path, "r") as f:
         for line in f:
@@ -82,6 +90,14 @@ def load_elenode(basename: str) -> TetMeshData:
     ``basename.node``: header '<n_verts> ...', rows 'id x y z'.
     Indices may start at 0 or 1; detected and normalized.
     """
+    try:
+        from .. import native
+        out = native.load_elenode_native(basename)
+        if out is not None:
+            return TetMeshData(verts=out[0], tets=out[1])
+    except Exception:
+        pass
+
     def read_rows(path, ncols):
         with open(path, "r") as f:
             header = f.readline().split()

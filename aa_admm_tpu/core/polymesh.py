@@ -140,18 +140,88 @@ def quad_subdivide(mesh: PolyMesh) -> Tuple[PolyMesh, np.ndarray]:
     return PolyMesh(verts=np.asarray(verts), faces=faces), is_new
 
 
-def smooth_new_vertices(mesh: PolyMesh, is_new: np.ndarray,
-                        n_iters: int = 20) -> PolyMesh:
-    """Laplacian-smooth only the newly inserted vertices, keeping originals
-    fixed — the behavioral equivalent of the reduced LDLT solve in
-    subdivide_and_smooth_mesh (MeshTypes.h:214-342), done iteratively."""
-    verts = mesh.verts.copy()
-    rings = [mesh.vertex_ring(v) if is_new[v] else None
-             for v in range(len(verts))]
-    for _ in range(n_iters):
-        new_verts = verts.copy()
-        for v in range(len(verts)):
-            if rings[v]:
-                new_verts[v] = verts[rings[v]].mean(axis=0)
-        verts = new_verts
-    return PolyMesh(verts=verts, faces=mesh.faces)
+def uniform_laplacian_rows(mesh: PolyMesh):
+    """Vectorized uniform-Laplacian row set matching the reference's
+    construction (subdivide_and_smooth_mesh, MeshTypes.h:270-302; the same
+    rule PlanarityOpt applies): interior vertex -> row over [v, ring] with
+    coefs [1, -1/k...]; boundary vertex -> row over [v, boundary-edge
+    neighbors] only when it has exactly two boundary edges adjacent to two
+    distinct faces. Returns list of (indices, coefs) with unordered rings
+    (uniform weights are order-independent)."""
+    V = mesh.n_verts()
+    edges = np.asarray(sorted(mesh.edge_faces), np.int64)  # (E, 2)
+    is_bedge = np.asarray([tuple(e) in mesh.boundary_edges for e in
+                           map(tuple, edges)])
+    # adjacency lists via sorting
+    endpoints = np.concatenate([edges, edges[:, ::-1]])  # (2E, 2): v -> nbr
+    order = np.argsort(endpoints[:, 0], kind="stable")
+    sorted_v = endpoints[order, 0]
+    sorted_n = endpoints[order, 1]
+    starts = np.searchsorted(sorted_v, np.arange(V))
+    ends = np.searchsorted(sorted_v, np.arange(V) + 1)
+
+    bedge_flag = np.concatenate([is_bedge, is_bedge])[order]
+    bedge_face = np.full(len(edges), -1, np.int64)
+    for i, e in enumerate(map(tuple, edges)):
+        if is_bedge[i]:
+            bedge_face[i] = mesh.edge_faces[e][0]
+    bface = np.concatenate([bedge_face, bedge_face])[order]
+
+    rows = []
+    for v in range(V):
+        s, e = starts[v], ends[v]
+        if not mesh._boundary_vert[v]:
+            nbrs = sorted_n[s:e]
+            k = len(nbrs)
+            if k == 0:
+                continue
+            rows.append((np.concatenate([[v], nbrs]),
+                         np.concatenate([[1.0], np.full(k, -1.0 / k)])))
+        else:
+            sel = bedge_flag[s:e]
+            nbrs = sorted_n[s:e][sel]
+            fids = bface[s:e][sel]
+            if len(fids) == 2 and fids[0] != fids[1]:
+                rows.append((np.asarray([v, nbrs[0], nbrs[1]]),
+                             np.asarray([1.0, -0.5, -0.5])))
+    return rows
+
+
+def subdivide_and_smooth(mesh: PolyMesh) -> PolyMesh:
+    """Topological quad split + global Laplacian smoothing of the inserted
+    vertices with the originals fixed: minimize ||L x||^2 over new vertices
+    (subdivide_and_smooth_mesh, MeshTypes.h:214-342; the reference solves the
+    reduced normal equations with SimplicialLDLT — here scipy sparse CG)."""
+    import scipy.sparse
+    import scipy.sparse.linalg
+
+    V_orig = mesh.n_verts()
+    out, is_new = quad_subdivide(mesh)
+    rows = uniform_laplacian_rows(out)
+
+    n = out.n_verts()
+    data, ri, ci = [], [], []
+    for r, (idx, coef) in enumerate(rows):
+        ri.extend([r] * len(idx))
+        ci.extend(idx)
+        data.extend(coef)
+    L = scipy.sparse.csr_matrix((data, (ri, ci)), shape=(len(rows), n))
+
+    free = np.nonzero(is_new)[0]
+    fixed = np.nonzero(~is_new)[0]
+    A = L[:, free]
+    B = L[:, fixed]
+    rhs = -(A.T @ (B @ out.verts[fixed]))
+    M = (A.T @ A).tocsc()
+    diag = M.diagonal()
+    precond = scipy.sparse.linalg.LinearOperator(
+        M.shape, matvec=lambda x: x / np.maximum(diag, 1e-12))
+    sol = np.empty((len(free), 3))
+    for c in range(3):
+        x, info = scipy.sparse.linalg.cg(M, rhs[:, c], rtol=1e-10,
+                                         maxiter=2000, M=precond)
+        sol[:, c] = x
+    verts = out.verts.copy()
+    verts[free] = sol
+    assert V_orig == len(fixed)
+    return PolyMesh(verts=verts, faces=out.faces)
