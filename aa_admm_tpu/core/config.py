@@ -55,7 +55,8 @@ class Settings:
 
     def parse_args(self, argv) -> bool:
         """Parse reference-style flags. Returns True if help was requested
-        (mirrors Solver::Settings::parse_args, Solver.cpp:510-534)."""
+        (mirrors Solver::Settings::parse_args, Solver.cpp:510-534). A
+        non-numeric value raises ValueError naming the flag."""
         args = list(argv)
         i = 0
         while i < len(args):
@@ -64,6 +65,14 @@ class Settings:
                 print(self.help())
                 return True
             nxt = args[i + 1] if i + 1 < len(args) else None
+            if nxt is not None and arg in ("-dt", "-v", "-it", "-g", "-ck",
+                                           "-a", "-am", "-ab", "-ap"):
+                try:
+                    float(nxt)
+                except ValueError:
+                    raise ValueError(
+                        f"invalid value for {arg}: '{nxt}' (expected a number)"
+                    ) from None
             if arg == "-dt" and nxt:
                 self.timestep_s = float(nxt); i += 1
             elif arg == "-v" and nxt:

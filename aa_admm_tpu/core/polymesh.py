@@ -140,6 +140,20 @@ def quad_subdivide(mesh: PolyMesh) -> Tuple[PolyMesh, np.ndarray]:
     return PolyMesh(verts=np.asarray(verts), faces=faces), is_new
 
 
+def quad2tri_subdivision(mesh: PolyMesh):
+    """Split each polygon into triangles fanning around its centroid
+    (quad2tri_subdivision, MeshTypes.h:376-426). Returns (verts, tri_faces)."""
+    verts = [v.copy() for v in mesh.verts]
+    faces = []
+    for f in mesh.faces:
+        c = len(verts)
+        verts.append(np.mean(mesh.verts[f], axis=0))
+        n = len(f)
+        for i in range(n):
+            faces.append([f[i], c, f[(i - 1) % n]])
+    return np.asarray(verts), np.asarray(faces, np.int32)
+
+
 def uniform_laplacian_rows(mesh: PolyMesh):
     """Vectorized uniform-Laplacian row set matching the reference's
     construction (subdivide_and_smooth_mesh, MeshTypes.h:270-302; the same

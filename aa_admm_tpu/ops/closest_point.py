@@ -85,31 +85,131 @@ def closest_point_on_triangles(p, tri_verts):
     return q, sqd
 
 
-@partial(jax.jit, static_argnames=("tile",))
-def closest_point_on_mesh(p, tri_verts, tile: int = 2048):
+@partial(jax.jit, static_argnames=("tile", "query_tile"))
+def closest_point_on_mesh(p, tri_verts, tile: int = 1024,
+                          query_tile: int = 8192):
     """Closest surface point for each query: (P, 3), (T, 3, 3) -> (P, 3).
 
-    Tiled scan over triangle chunks keeps peak memory at O(P * tile)."""
+    Doubly tiled: an outer ``lax.map`` over query chunks and an inner scan
+    over triangle chunks bound peak memory at O(query_tile * tile) while the
+    full P x T sweep stays dense VPU arithmetic."""
     T = tri_verts.shape[0]
-    pad = (-T) % tile
-    tv = jnp.pad(tri_verts, ((0, pad), (0, 0), (0, 0)),
+    P = p.shape[0]
+    pad_t = (-T) % tile
+    tv = jnp.pad(tri_verts, ((0, pad_t), (0, 0), (0, 0)),
                  constant_values=jnp.inf)
     tv = tv.reshape(-1, tile, 3, 3)
 
-    def body(carry, chunk):
-        best_d, best_q = carry
-        # inf-padded triangles produce inf distances; sanitize their coords
-        chunk_ok = jnp.isfinite(chunk[:, 0, 0])
-        chunk_s = jnp.where(jnp.isfinite(chunk), chunk, 0.0)
-        q, sqd = closest_point_on_triangles(p, chunk_s)
-        sqd = jnp.where(chunk_ok[None, :], sqd, jnp.inf)
-        i = jnp.argmin(sqd, axis=1)
-        d = jnp.take_along_axis(sqd, i[:, None], axis=1)[:, 0]
-        qi = jnp.take_along_axis(q, i[:, None, None], axis=1)[:, 0]
-        better = d < best_d
-        return (jnp.where(better, d, best_d),
-                jnp.where(better[:, None], qi, best_q)), None
+    qt = min(query_tile, max(P, 1))
+    pad_q = (-P) % qt
+    pq = jnp.pad(p, ((0, pad_q), (0, 0)))
+    pq = pq.reshape(-1, qt, 3)
 
-    init = (jnp.full((p.shape[0],), jnp.inf, p.dtype), jnp.zeros_like(p))
-    (best_d, best_q), _ = jax.lax.scan(body, init, tv)
-    return best_q
+    def per_query_chunk(pc):
+        def body(carry, chunk):
+            best_d, best_q = carry
+            # inf-padded triangles produce inf distances; sanitize coords
+            chunk_ok = jnp.isfinite(chunk[:, 0, 0])
+            chunk_s = jnp.where(jnp.isfinite(chunk), chunk, 0.0)
+            q, sqd = closest_point_on_triangles(pc, chunk_s)
+            sqd = jnp.where(chunk_ok[None, :], sqd, jnp.inf)
+            i = jnp.argmin(sqd, axis=1)
+            d = jnp.take_along_axis(sqd, i[:, None], axis=1)[:, 0]
+            qi = jnp.take_along_axis(q, i[:, None, None], axis=1)[:, 0]
+            better = d < best_d
+            return (jnp.where(better, d, best_d),
+                    jnp.where(better[:, None], qi, best_q)), None
+
+        init = (jnp.full((pc.shape[0],), jnp.inf, pc.dtype),
+                jnp.zeros_like(pc))
+        (_, best_q), _ = jax.lax.scan(body, init, tv)
+        return best_q
+
+    out = jax.lax.map(per_query_chunk, pq)
+    return out.reshape(-1, 3)[:P]
+
+
+@partial(jax.jit, static_argnames=("k", "query_tile"))
+def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
+                                 query_tile: int = 4096):
+    """Coarse-to-fine closest point for LARGE reference meshes.
+
+    Stage 1 rides the MXU: squared distances to all triangle *centroids* via
+    one (Q,3)x(3,T) matmul per query chunk, turned into a conservative lower
+    bound ``max(0, |p-c| - r)`` with r the triangle circumradius-from-
+    centroid; ``lax.top_k`` keeps the k best candidates. Stage 2 runs the
+    exact Ericson test on only Q*k triangle pairs. With k ~ 48 this is exact
+    for reasonably uniform meshes (validated against brute force in tests)
+    and turns an O(Q*T) VPU sweep into an O(Q*T/3) MXU matmul + O(Q*k) VPU
+    work — the difference between ~minutes and ~100ms per projection at the
+    WireMeshOpt scale (230k queries x 40k triangles)."""
+    T = tri_verts.shape[0]
+    P = p.shape[0]
+    cent = jnp.mean(tri_verts, axis=1)                      # (T, 3)
+    rad = jnp.sqrt(jnp.max(jnp.sum(
+        (tri_verts - cent[:, None, :]) ** 2, axis=-1), axis=1))  # (T,)
+    c2 = jnp.sum(cent * cent, axis=-1)                      # (T,)
+
+    qt = min(query_tile, max(P, 1))
+    pad_q = (-P) % qt
+    pq = jnp.pad(p, ((0, pad_q), (0, 0)))
+    pq = pq.reshape(-1, qt, 3)
+
+    def per_chunk(pc):
+        d2c = (jnp.sum(pc * pc, axis=-1, keepdims=True)
+               - 2.0 * pc @ cent.T + c2[None, :])           # (q, T) MXU
+        dist_c = jnp.sqrt(jnp.maximum(d2c, 0.0))
+        lower = jnp.maximum(dist_c - rad[None, :], 0.0)
+        _, idx = jax.lax.top_k(-lower, k)                   # (q, k)
+        cand = tri_verts[idx]                               # (q, k, 3, 3)
+        q, sqd = _closest_point_candidates(pc, cand)
+        return q
+
+    out = jax.lax.map(per_chunk, pq)
+    return out.reshape(-1, 3)[:P]
+
+
+def _closest_point_candidates(p, cand):
+    """Exact closest point over per-query candidate triangles.
+    p: (Q, 3); cand: (Q, K, 3, 3). Returns (point (Q,3), sqdist (Q,))."""
+    a, b, c = cand[:, :, 0], cand[:, :, 1], cand[:, :, 2]
+    pq = p[:, None, :]
+    ab, ac, ap = b - a, c - a, pq - a
+    d1 = jnp.sum(ab * ap, -1)
+    d2 = jnp.sum(ac * ap, -1)
+    bp = pq - b
+    d3 = jnp.sum(ab * bp, -1)
+    d4 = jnp.sum(ac * bp, -1)
+    cp = pq - c
+    d5 = jnp.sum(ab * cp, -1)
+    d6 = jnp.sum(ac * cp, -1)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    def safe_div(n, d):
+        return n / jnp.where(d == 0, 1.0, d)
+
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    on_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    on_ac = (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    on_bc = (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0)
+    v_ab = jnp.clip(safe_div(d1, d1 - d3), 0.0, 1.0)
+    w_ac = jnp.clip(safe_div(d2, d2 - d6), 0.0, 1.0)
+    w_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)), 0.0, 1.0)
+    denom = jnp.where(va + vb + vc == 0, 1.0, va + vb + vc)
+    v_in = vb / denom
+    w_in = vc / denom
+    q = a + v_in[..., None] * ab + w_in[..., None] * ac
+    q = jnp.where(on_bc[..., None], b + w_bc[..., None] * (c - b), q)
+    q = jnp.where(on_ac[..., None], a + w_ac[..., None] * ac, q)
+    q = jnp.where(on_ab[..., None], a + v_ab[..., None] * ab, q)
+    q = jnp.where(in_c[..., None], c, q)
+    q = jnp.where(in_b[..., None], b, q)
+    q = jnp.where(in_a[..., None], a, q)
+    sqd = jnp.sum((pq - q) ** 2, -1)
+    i = jnp.argmin(sqd, axis=1)
+    return (jnp.take_along_axis(q, i[:, None, None], axis=1)[:, 0],
+            jnp.take_along_axis(sqd, i[:, None], axis=1)[:, 0])

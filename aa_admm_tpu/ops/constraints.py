@@ -25,12 +25,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .closest_point import closest_point_on_mesh
+from .closest_point import closest_point_on_mesh, closest_point_on_mesh_2stage
 from .svd3 import eigh3x3
+
+# Above this triangle count, RefSurfaceBatch uses the MXU coarse-to-fine
+# closest-point (exact-in-practice top-k prefilter) instead of brute force.
+_CP_2STAGE_THRESHOLD = 4096
 
 
 def _static(**kw):
     return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+
+
+def _host_mirror(obj, **arrays):
+    """Attach host-side NumPy mirrors to a frozen batch (not pytree fields).
+    Setup-time assembly reads these instead of pulling device arrays back
+    through a (potentially slow) accelerator transport."""
+    object.__setattr__(obj, "_host", {k: np.asarray(v) for k, v in arrays.items()})
+    return obj
+
+
+def hostarr(b, name):
+    h = getattr(b, "_host", None)
+    if h is not None and name in h:
+        return h[name]
+    return np.asarray(getattr(b, name))
 
 
 def _pad_rows(rows, pad_val=0):
@@ -58,9 +79,11 @@ class PlaneBatch:
     def create(cls, faces, weight, dtype=np.float64):
         idx, mask = _pad_rows(faces)
         C = len(faces)
-        return cls(idx=jnp.asarray(idx), mask=jnp.asarray(mask),
-                   count=jnp.asarray(mask.sum(1).astype(dtype)),
-                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)))
+        w = np.full(C, np.sqrt(weight), dtype)
+        cnt = mask.sum(1).astype(dtype)
+        out = cls(idx=jnp.asarray(idx), mask=jnp.asarray(mask),
+                  count=jnp.asarray(cnt), w=jnp.asarray(w))
+        return _host_mirror(out, idx=idx, mask=mask, count=cnt, w=w)
 
     @property
     def block_shape(self):
@@ -110,9 +133,11 @@ class AngleBatch:
         C = len(triples)
         mn = np.maximum(0.0, np.broadcast_to(min_radian, (C,)).astype(dtype))
         mx = np.minimum(np.pi, np.broadcast_to(max_radian, (C,)).astype(dtype))
-        return cls(idx=jnp.asarray(np.asarray(triples, np.int32)),
-                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)),
-                   min_angle=jnp.asarray(mn), max_angle=jnp.asarray(mx))
+        idx = np.asarray(triples, np.int32)
+        w = np.full(C, np.sqrt(weight), dtype)
+        out = cls(idx=jnp.asarray(idx), w=jnp.asarray(w),
+                  min_angle=jnp.asarray(mn), max_angle=jnp.asarray(mx))
+        return _host_mirror(out, idx=idx, w=w)
 
     @property
     def block_shape(self):
@@ -185,10 +210,12 @@ class EdgeLengthBatch:
     @classmethod
     def create(cls, pairs, weight, target_length, dtype=np.float64):
         C = len(pairs)
-        return cls(idx=jnp.asarray(np.asarray(pairs, np.int32)),
-                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)),
-                   target=jnp.asarray(
-                       np.broadcast_to(target_length, (C,)).astype(dtype)))
+        idx = np.asarray(pairs, np.int32)
+        w = np.full(C, np.sqrt(weight), dtype)
+        out = cls(idx=jnp.asarray(idx), w=jnp.asarray(w),
+                  target=jnp.asarray(
+                      np.broadcast_to(target_length, (C,)).astype(dtype)))
+        return _host_mirror(out, idx=idx, w=w)
 
     @property
     def block_shape(self):
@@ -223,9 +250,11 @@ class ClosenessBatch:
     @classmethod
     def create(cls, idx, weight, targets, dtype=np.float64):
         C = len(idx)
-        return cls(idx=jnp.asarray(np.asarray(idx, np.int32)),
-                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)),
-                   target=jnp.asarray(np.asarray(targets, dtype).reshape(C, 3)))
+        idx_h = np.asarray(idx, np.int32)
+        w = np.full(C, np.sqrt(weight), dtype)
+        out = cls(idx=jnp.asarray(idx_h), w=jnp.asarray(w),
+                  target=jnp.asarray(np.asarray(targets, dtype).reshape(C, 3)))
+        return _host_mirror(out, idx=idx_h, w=w)
 
     @property
     def block_shape(self):
@@ -259,9 +288,11 @@ class RefSurfaceBatch:
         C = len(idx)
         rv = np.asarray(ref_verts, dtype)
         rf = np.asarray(ref_faces, np.int64)
-        return cls(idx=jnp.asarray(np.asarray(idx, np.int32)),
-                   w=jnp.asarray(np.full(C, np.sqrt(weight), dtype)),
-                   tri_verts=jnp.asarray(rv[rf]), tile=tile)
+        idx_h = np.asarray(idx, np.int32)
+        w = np.full(C, np.sqrt(weight), dtype)
+        out = cls(idx=jnp.asarray(idx_h), w=jnp.asarray(w),
+                  tri_verts=jnp.asarray(rv[rf]), tile=tile)
+        return _host_mirror(out, idx=idx_h, w=w)
 
     @property
     def block_shape(self):
@@ -274,7 +305,10 @@ class RefSurfaceBatch:
         return jax.ops.segment_sum(t[:, 0], self.idx, num_segments=n_verts)
 
     def project(self, p):
-        q = closest_point_on_mesh(p[:, 0], self.tri_verts, tile=self.tile)
+        if self.tri_verts.shape[0] > _CP_2STAGE_THRESHOLD:
+            q = closest_point_on_mesh_2stage(p[:, 0], self.tri_verts)
+        else:
+            q = closest_point_on_mesh(p[:, 0], self.tri_verts, tile=self.tile)
         return q[:, None, :]
 
 
@@ -290,10 +324,10 @@ def assemble_geometry_node_matrix(n_verts: int, hard, soft, rho: float,
     (ALMGeometrySolver::setup_ADMM, ALMGeometrySolver.h:96-141)."""
     def add_batch(A, b, scale_w):
         if isinstance(b, PlaneBatch):
-            idx = np.asarray(b.idx)
-            mask = np.asarray(b.mask).astype(np.float64)
-            cnt = np.asarray(b.count)
-            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            idx = hostarr(b, 'idx')
+            mask = hostarr(b, 'mask').astype(np.float64)
+            cnt = hostarr(b, 'count')
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(idx))
             # Row block for face c: (I - 11^T/k) over its k valid slots.
             k = idx.shape[1]
             eye = np.eye(k)[None]
@@ -302,21 +336,21 @@ def assemble_geometry_node_matrix(n_verts: int, hard, soft, rho: float,
             K = np.einsum("c,cik,cjk->cij", w2, T, T)
             np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
         elif isinstance(b, AngleBatch):
-            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(b.idx))
-            idx = np.asarray(b.idx)
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
+            idx = hostarr(b, 'idx')
             # rows: [-1 1 0], [-1 0 1] over (tip, s1, s2)
             G = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
             K = np.einsum("c,ir,jr->cij", w2, G, G)
             np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
         elif isinstance(b, EdgeLengthBatch):
-            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(b.idx))
-            idx = np.asarray(b.idx)
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
+            idx = hostarr(b, 'idx')
             G = np.array([[-1.0], [1.0]])
             K = np.einsum("c,ir,jr->cij", w2, G, G)
             np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
         else:  # identity transforms
-            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(b.idx))
-            idx = np.asarray(b.idx)
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
+            idx = hostarr(b, 'idx')
             np.add.at(A, (idx, idx), w2)
 
     A = np.zeros((n_verts, n_verts))

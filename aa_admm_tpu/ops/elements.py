@@ -34,6 +34,23 @@ from .sdf import SdfScene
 _SQRT2 = float(np.sqrt(2.0))
 
 
+
+
+def _host_mirror(obj, **arrays):
+    """Attach host NumPy mirrors (non-pytree) so setup-time assembly never
+    pulls device arrays back through the accelerator transport."""
+    object.__setattr__(obj, "_host",
+                       {k: np.asarray(v) for k, v in arrays.items()})
+    return obj
+
+
+def hostarr(b, name):
+    h = getattr(b, "_host", None)
+    if h is not None and name in h:
+        return h[name]
+    return np.asarray(getattr(b, name))
+
+
 def _static(**kw):
     return dataclasses.field(metadata=dict(static=True), **kw)
 
@@ -69,7 +86,7 @@ class TetBatch:
         E = len(tets)
         k = np.full(E, lame.bulk_modulus, dtype)
         w = np.sqrt(k * vol)
-        return cls(
+        out = cls(
             tets=jnp.asarray(tets.astype(np.int32)),
             Dm_inv=jnp.asarray(Dm_inv.astype(dtype)),
             vol=jnp.asarray(vol.astype(dtype)),
@@ -80,6 +97,9 @@ class TetBatch:
             kind=kind,
             svd_method=svd_method,
         )
+        return _host_mirror(out, tets=tets.astype(np.int32),
+                            Dm_inv=Dm_inv.astype(np.float64),
+                            w=w.astype(np.float64))
 
     def deform(self, x):
         """D x: per-element deformation gradient from positions x (n, 3)."""
@@ -169,7 +189,7 @@ class TriBatch:
         E = len(tris)
         k = np.full(E, lame.bulk_modulus, dtype)
         w = np.sqrt(k * area)
-        return cls(
+        out = cls(
             tris=jnp.asarray(tris.astype(np.int32)),
             rest_inv=jnp.asarray(rest_inv.astype(dtype)),
             area=jnp.asarray(area.astype(dtype)),
@@ -181,6 +201,9 @@ class TriBatch:
             limit_max=jnp.asarray(np.full(E, lame.limit_max, dtype)),
             variant=variant,
         )
+        return _host_mirror(out, tris=tris.astype(np.int32),
+                            rest_inv=rest_inv.astype(np.float64),
+                            w=w.astype(np.float64))
 
     def deform(self, x):
         g = x[self.tris]                                    # (E, 3, 3)
@@ -226,10 +249,12 @@ class PinBatch:
     def create(cls, idx, targets, dtype=np.float64) -> "PinBatch":
         E = len(idx)
         w = np.full(E, np.sqrt(Lame.rubber().bulk_modulus * 2.0), dtype)
-        return cls(idx=jnp.asarray(np.asarray(idx, np.int32)),
-                   target=jnp.asarray(np.asarray(targets, dtype).reshape(E, 3)),
-                   active=jnp.ones((E,), bool),
-                   w=jnp.asarray(w))
+        idx_h = np.asarray(idx, np.int32)
+        out = cls(idx=jnp.asarray(idx_h),
+                  target=jnp.asarray(np.asarray(targets, dtype).reshape(E, 3)),
+                  active=jnp.ones((E,), bool),
+                  w=jnp.asarray(w))
+        return _host_mirror(out, idx=idx_h, w=w)
 
     def deform(self, x):
         return x[self.idx]
@@ -266,9 +291,11 @@ class CollisionBatch:
     def create(cls, idx, scene: SdfScene, dtype=np.float64) -> "CollisionBatch":
         E = len(idx)
         w = np.full(E, np.sqrt(Lame.soft_rubber().bulk_modulus * 2.0), dtype)
-        return cls(idx=jnp.asarray(np.asarray(idx, np.int32)),
-                   active=jnp.ones((E,), bool),
-                   w=jnp.asarray(w), scene=scene)
+        idx_h = np.asarray(idx, np.int32)
+        out = cls(idx=jnp.asarray(idx_h),
+                  active=jnp.ones((E,), bool),
+                  w=jnp.asarray(w), scene=scene)
+        return _host_mirror(out, idx=idx_h, w=w)
 
     def deform(self, x):
         return x[self.idx]

@@ -29,7 +29,7 @@ from ..core.meshio import save_residual_file
 from ..core.timers import MicroTimer
 from ..ops.constraints import (AngleBatch, ClosenessBatch, EdgeLengthBatch,
                                PlaneBatch, RefSurfaceBatch,
-                               assemble_geometry_node_matrix)
+                               assemble_geometry_node_matrix, hostarr)
 from . import anderson
 from .linear import DenseInverseSolver, dense_inverse, pcg
 
@@ -238,25 +238,25 @@ def _geometry_node_diag(n_points, hard, soft, rho, reg):
 
     def add(b, scale_w, out_scale=1.0):
         if isinstance(b, PlaneBatch):
-            idx = np.asarray(b.idx)
-            mask = np.asarray(b.mask).astype(np.float64)
-            cnt = np.asarray(b.count)
-            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            idx = hostarr(b, 'idx')
+            mask = hostarr(b, 'mask').astype(np.float64)
+            cnt = hostarr(b, 'count')
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(idx))
             # diag of T^T T = T (projector): (1 - 1/k) per valid slot.
             contrib = (1.0 - 1.0 / cnt)[:, None] * mask * w2[:, None]
             np.add.at(d, idx, out_scale * contrib)
         elif isinstance(b, AngleBatch):
-            idx = np.asarray(b.idx)
-            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            idx = hostarr(b, 'idx')
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(idx))
             rowsq = np.array([2.0, 1.0, 1.0])
             np.add.at(d, idx, out_scale * w2[:, None] * rowsq[None, :])
         elif isinstance(b, EdgeLengthBatch):
-            idx = np.asarray(b.idx)
-            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            idx = hostarr(b, 'idx')
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(idx))
             np.add.at(d, idx, out_scale * w2[:, None] * np.ones(2)[None, :])
         else:
-            idx = np.asarray(b.idx)
-            w2 = (np.asarray(b.w) ** 2) if scale_w else np.ones(len(idx))
+            idx = hostarr(b, 'idx')
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(idx))
             np.add.at(d, idx, out_scale * w2)
 
     for b in hard:
@@ -360,7 +360,8 @@ class ALMGeometrySolver:
         else:
             solver = None
             precond = jnp.asarray(_geometry_node_diag(
-                n_points, self.hard, self.soft, penalty_param, reg))
+                n_points, self.hard, self.soft, penalty_param,
+                reg).astype(self.dtype))
 
         reg_struct = None
         if reg is not None and not use_dense:
@@ -379,11 +380,17 @@ class ALMGeometrySolver:
         return True
 
     def solve_ADMM(self, init_x: np.ndarray, rel_residual_eps: float,
-                   max_iter: int, anderson_m: int):
+                   max_iter: int, anderson_m: int,
+                   cg_tol: float = None, cg_max_iters: int = None):
         assert self.system is not None
+        if cg_tol is None:
+            # f32 can't reach 1e-12 relative; don't spin CG at max_iters.
+            cg_tol = 1e-12 if self.dtype == np.float64 else 2e-6
         self.system = dataclasses.replace(
             self.system, max_iter=int(max_iter),
-            anderson_m=int(anderson_m), accel=anderson_m > 0)
+            anderson_m=int(anderson_m), accel=anderson_m > 0,
+            cg_tol=float(cg_tol),
+            cg_max_iters=int(cg_max_iters or self.system.cg_max_iters))
         x0 = jnp.asarray(np.asarray(init_x, self.dtype))
         e0 = float(soft_energy(self.system, x0))
         print(f"Init energy = {e0}")

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.elements import hostarr
+
 
 def assemble_node_matrix(n_verts: int, batches, dt2p: float = 1.0,
                          masses: Optional[np.ndarray] = None) -> np.ndarray:
@@ -44,21 +46,21 @@ def assemble_node_matrix(n_verts: int, batches, dt2p: float = 1.0,
     if masses is not None:
         A[np.arange(n_verts), np.arange(n_verts)] += np.asarray(masses)
     for b in batches:
-        w2 = np.asarray(b.w, np.float64) ** 2
+        w2 = hostarr(b, 'w').astype(np.float64) ** 2
         if hasattr(b, "Dm_inv"):       # tets
-            Dm = np.asarray(b.Dm_inv, np.float64)           # (E,3,3)
+            Dm = hostarr(b, 'Dm_inv').astype(np.float64)           # (E,3,3)
             G = np.concatenate([-Dm.sum(axis=1, keepdims=True), Dm], axis=1)  # (E,4,3)
             K = np.einsum("e,eir,ejr->eij", w2, G, G)       # (E,4,4)
-            idx = np.asarray(b.tets)
+            idx = hostarr(b, 'tets')
             np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
         elif hasattr(b, "rest_inv"):   # tris
-            R = np.asarray(b.rest_inv, np.float64)          # (E,2,2)
+            R = hostarr(b, 'rest_inv').astype(np.float64)          # (E,2,2)
             G = np.concatenate([-R.sum(axis=1, keepdims=True), R], axis=1)    # (E,3,2)
             K = np.einsum("e,eir,ejr->eij", w2, G, G)       # (E,3,3)
-            idx = np.asarray(b.tris)
+            idx = hostarr(b, 'tris')
             np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
         else:                           # identity reduction on a vertex
-            idx = np.asarray(b.idx)
+            idx = hostarr(b, 'idx')
             np.add.at(A, (idx, idx), w2)
     if dt2p != 1.0:
         if masses is not None:
@@ -74,17 +76,17 @@ def assemble_node_diag(n_verts: int, batches) -> np.ndarray:
     materializing the matrix — O(E) host work for arbitrarily large meshes."""
     d = np.zeros(n_verts)
     for b in batches:
-        w2 = np.asarray(b.w, np.float64) ** 2
+        w2 = hostarr(b, 'w').astype(np.float64) ** 2
         if hasattr(b, "Dm_inv"):
-            Dm = np.asarray(b.Dm_inv, np.float64)
+            Dm = hostarr(b, 'Dm_inv').astype(np.float64)
             G = np.concatenate([-Dm.sum(axis=1, keepdims=True), Dm], axis=1)
-            np.add.at(d, np.asarray(b.tets), w2[:, None] * (G ** 2).sum(axis=-1))
+            np.add.at(d, hostarr(b, 'tets'), w2[:, None] * (G ** 2).sum(axis=-1))
         elif hasattr(b, "rest_inv"):
-            R = np.asarray(b.rest_inv, np.float64)
+            R = hostarr(b, 'rest_inv').astype(np.float64)
             G = np.concatenate([-R.sum(axis=1, keepdims=True), R], axis=1)
-            np.add.at(d, np.asarray(b.tris), w2[:, None] * (G ** 2).sum(axis=-1))
+            np.add.at(d, hostarr(b, 'tris'), w2[:, None] * (G ** 2).sum(axis=-1))
         else:
-            np.add.at(d, np.asarray(b.idx), w2)
+            np.add.at(d, hostarr(b, 'idx'), w2)
     return d
 
 

@@ -322,6 +322,127 @@ def step_xzu(system: PhysicsSystem, x, v, pin_pos):
                                    carry["resets"])
 
 
+def step_xzu_instrumented(system: PhysicsSystem, x, v, pin_pos,
+                          runtime: "RuntimeData"):
+    """Per-phase instrumented xzu step: the same algorithm as ``step_xzu``
+    but as a host loop over separately jitted phases, accumulating the
+    reference's RuntimeData buckets (global/local/acceleration/initialization
+    ms, Solver.cpp:102-244). Used for profiling parity and as a cross-check
+    of the fused scan (identical math, Python-level control flow)."""
+    import jax as _jax
+    t = MicroTimer()
+    dt = system.dt
+    v, xbar_full, base_full = _j_predict(system, x, v, pin_pos)
+    M_xbar_free = system.masses[system.free_idx, None] * xbar_full[system.free_idx]
+    c_blocks = system.deform(base_full)
+
+    z = system.deform(xbar_full)
+    u = _tmap(jnp.zeros_like, z)
+    x_full = _j_solve(system, M_xbar_free, z, u, c_blocks, base_full)
+    z = _j_update_z(system, x_full, u)
+    aa = anderson.init(max(system.anderson_m, 1), _flatten(z))
+    _jax.block_until_ready(z)
+    runtime.initialization_ms += t.elapsed_ms()
+
+    dx_, dz_, du_ = x_full, z, u
+    prev_prim = float("inf")
+    prims, combs = [], []
+    resets = 0
+    cx, cz, cu = x_full, z, u
+    accel = system.accel
+
+    for _ in range(system.admm_iters):
+        t.reset()
+        if accel:
+            cu = _j_winv_grad(system, cz)
+        else:
+            cu = _j_add_prim(system, cu, cx, cz)
+        _jax.block_until_ready(cu)
+        runtime.local_ms += t.elapsed_ms()
+
+        t.reset()
+        cx = _j_solve(system, M_xbar_free, cz, cu, c_blocks, base_full)
+        _jax.block_until_ready(cx)
+        runtime.global_ms += t.elapsed_ms()
+        runtime.inner_iters += 1
+
+        t.reset()
+        prim = float(_j_prim_norm(system, cx, cz))
+        if accel and prev_prim < prim:
+            resets += 1
+            cx, cz, cu = dx_, dz_, du_
+            aa = anderson.replace(aa, _flatten(cz))
+            cu = _j_add_prim(system, cu, cx, cz)
+            cx = _j_solve(system, M_xbar_free, cz, cu, c_blocks, base_full)
+            prim = float(_j_prim_norm(system, cx, cz))
+        prev_prim = prim
+        runtime.acceleration_ms += t.elapsed_ms()
+
+        t.reset()
+        if accel:
+            dx_, du_ = cx, cu
+            dz_ = _j_update_z(system, cx, cu)
+            aa, zflat = _j_aa_compute(aa, _flatten(dz_))
+            cz = _unflatten(zflat, dz_)
+        else:
+            last_z = cz
+            cz = _j_update_z(system, cx, cu)
+            dz_ = cz
+        _jax.block_until_ready(cz)
+        runtime.local_ms += t.elapsed_ms()
+
+        if system.collect_comb:
+            if accel:
+                comb_x = _j_solve(system, M_xbar_free, dz_, cu, c_blocks,
+                                  base_full)
+                comb_z = _j_update_z(system, comb_x, cu)
+                comb = float(_j_comb(system, comb_x, comb_z, dz_))
+            else:
+                comb = float(_j_comb(system, cx, cz, last_z))
+        else:
+            comb = float("inf")
+        prims.append(prim)
+        combs.append(comb)
+        runtime.step_time.append(runtime.local_ms + runtime.global_ms
+                                 + runtime.acceleration_ms)
+        if comb < _EPS_BREAK:
+            break
+
+    x_new = cx
+    v_new = (x_new - x) / dt
+    return x_new, v_new, np.asarray(prims), np.asarray(combs), resets
+
+
+import jax as _jax_mod  # noqa: E402
+
+_j_predict = _jax_mod.jit(_predict)
+_j_solve = _jax_mod.jit(_solve_x)
+_j_update_z = _jax_mod.jit(_update_z)
+_j_aa_compute = _jax_mod.jit(anderson.compute)
+
+
+@_jax_mod.jit
+def _j_prim_norm(system, x_full, z):
+    return jnp.sqrt(_sqnorm_all(_prim_vec(system, x_full, z)))
+
+
+@_jax_mod.jit
+def _j_add_prim(system, u, x_full, z):
+    return _tmap(jnp.add, u, _prim_vec(system, x_full, z))
+
+
+@_jax_mod.jit
+def _j_winv_grad(system, z):
+    return _tmap(lambda b, g: _wx(b, g, -1), system.batches,
+                 _grad_all(system, z))
+
+
+@_jax_mod.jit
+def _j_comb(system, x_full, z, z_ref):
+    dual = _tmap(lambda b, a, c: _wx(b, a - c), system.batches, z, z_ref)
+    return _sqnorm_all(dual) + _sqnorm_all(_prim_vec(system, x_full, z))
+
+
 # ----------------------------------------------------------------------------
 # z -> x -> u (AA on (u, x)) — admm_anderson_hard_zxu/src/Solver.cpp:34-234
 # ----------------------------------------------------------------------------
@@ -672,6 +793,31 @@ class PhysicsSolver:
             print(f"step: {elapsed:.2f}ms, {nv} iters, "
                   f"reset number = {int(trace.reset_count)}")
         return trace
+
+    def step_instrumented(self):
+        """One xzu timestep with per-phase RuntimeData accumulation
+        (RuntimeData::print parity, Solver.cpp:551-564). Slower than step()
+        (host loop, one dispatch per phase) but yields the reference's
+        global/local/acceleration/initialization breakdown."""
+        assert self.initialized
+        if self.order != UpdateOrder.XZU:
+            raise NotImplementedError("instrumented mode: xzu only for now")
+        x_new, v_new, prims, combs, resets = step_xzu_instrumented(
+            self.system, jnp.asarray(self.x), jnp.asarray(self.v),
+            jnp.asarray(self.pin_pos), self.runtime)
+        self.x = np.asarray(x_new)
+        self.v = np.asarray(v_new)
+        t0 = self.step_times[-1] if self.step_times else 0.0
+        for i in range(len(prims)):
+            self.step_prim.append(float(prims[i]))
+            self.step_comb.append(float(combs[i]))
+            self.step_reject.append(0)
+            self.step_times.append(t0 + self.runtime.step_time[i]
+                                   if i < len(self.runtime.step_time) else t0)
+        self.reset_num += resets
+        if self.settings.verbose > 0:
+            self.runtime.print(self.settings)
+        return prims, combs
 
     # ---- persistence (Solver::save / ::load, Solver.hpp:126-215) ----
 

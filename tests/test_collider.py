@@ -1,0 +1,79 @@
+"""Mesh colliders: PassiveMesh tet-mesh SDF and dynamic TetMeshCollision."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from aa_admm_tpu.core.factory import make_tet_blocks
+from aa_admm_tpu.ops.collider import (DynamicTetCollider, TetMeshSdf,
+                                      barycoords_tet, detect, point_in_tets)
+from aa_admm_tpu.ops.sdf import SdfSceneBuilder
+
+
+def test_barycoords():
+    v0, v1 = np.zeros(3), np.array([1.0, 0, 0])
+    v2, v3 = np.array([0.0, 1, 0]), np.array([0.0, 0, 1])
+    b = np.asarray(barycoords_tet(jnp.asarray([0.25, 0.25, 0.25]),
+                                  *map(jnp.asarray, (v0, v1, v2, v3))))
+    assert np.allclose(b, [0.25, 0.25, 0.25, 0.25])
+
+
+def test_point_in_tets():
+    mesh = make_tet_blocks(1, 1, 1)  # unit cube, 5 tets
+    tv = jnp.asarray(mesh.verts[mesh.tets])
+    pts = jnp.asarray([[0.5, 0.5, 0.5], [2.0, 0.5, 0.5], [0.01, 0.01, 0.01]])
+    inside, first, barys = point_in_tets(pts, tv)
+    assert bool(inside[0]) and bool(inside[2])
+    assert not bool(inside[1])
+    assert np.all(np.asarray(barys[0]) >= -1e-12)
+
+
+def test_passive_mesh_sdf():
+    # Single unit cube: the 5-tet split's internal faces are shared and
+    # excluded; only the 12 boundary triangles remain. (Multi-cube blocks
+    # have mismatched interface diagonals, so interface triangles correctly
+    # count as boundary there.)
+    mesh = make_tet_blocks(1, 1, 1)
+    sdf = TetMeshSdf.create(mesh.verts, mesh.tets)
+    pts = jnp.asarray([[0.5, 0.5, 0.5],    # center: inside, depth 0.5
+                       [0.5, 0.5, 0.1],    # near z=0 face: inside, depth .1
+                       [2.0, 0.5, 0.5]])   # outside
+    d, q = sdf.signed_distance(pts)
+    d, q = np.asarray(d), np.asarray(q)
+    assert abs(d[0] + 0.5) < 1e-10
+    assert abs(d[1] + 0.1) < 1e-10
+    assert d[2] > 1e10                     # outside -> untouched sentinel
+    assert abs(q[1][2] - 0.0) < 1e-10      # projected to z=0 face
+
+
+def test_dynamic_tet_collider_rest_mapping():
+    mesh = make_tet_blocks(1, 1, 1)
+    dc = DynamicTetCollider.create(mesh.verts, mesh.tets)
+    # Deform: stretch the cube 2x in x. A point inside the deformed cube
+    # maps back to the rest pose at half its x coordinate.
+    x_all = jnp.asarray(mesh.verts * np.array([2.0, 1.0, 1.0]))
+    q = jnp.asarray([[1.0, 0.5, 0.5]])     # deformed center
+    hit = dc.detect(q, x_all)
+    assert bool(hit.hit[0])
+    # Rest point = (0.5, 0.5, 0.5) -> nearest rest surface at distance 0.5,
+    # projected to a face of the unit cube.
+    p = np.asarray(hit.point[0])
+    assert np.isclose(np.min([p.min(), 1 - p.max()]), 0.0, atol=1e-9)
+    # Own-vertex exclusion: a query at a mesh vertex with its id skips tets
+    # containing that vertex.
+    q2 = jnp.asarray(mesh.verts[:1] * np.array([2.0, 1.0, 1.0]))
+    hit2 = dc.detect(q2, x_all, query_ids=jnp.asarray([0]))
+    assert not bool(hit2.hit[0])
+
+
+def test_detect_combines_scene_and_mesh():
+    box = make_tet_blocks(1, 1, 1)
+    box.verts = box.verts + np.array([5.0, 0.0, 0.0])
+    sdf = TetMeshSdf.create(box.verts, box.tets)
+    scene = SdfSceneBuilder().add_floor(0.0).build()
+    pts = jnp.asarray([[0.0, -0.5, 0.0],   # below floor
+                       [5.5, 0.5, 0.5],    # inside box
+                       [0.0, 2.0, 0.0]])   # free
+    passive, _ = detect(pts, scene=scene, mesh_sdfs=[sdf])
+    hit = np.asarray(passive.hit)
+    assert hit.tolist() == [True, True, False]
+    assert np.asarray(passive.dx)[0] < 0

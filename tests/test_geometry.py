@@ -143,3 +143,57 @@ def test_laplacian_regularization_smooths():
     rough = np.abs(np.diff(out[:, 1], 2)).max()
     rough0 = np.abs(np.diff(line[:, 1], 2)).max()
     assert rough < rough0 * 0.1
+
+
+def test_closest_point_2stage_matches_bruteforce():
+    """The MXU coarse-to-fine path must be exact on *uniform* surface meshes
+    (the candidate bound assumes bounded triangle size, which real reference
+    surfaces satisfy; a random triangle soup with giant slivers does not)."""
+    import jax.numpy as jnp
+    from aa_admm_tpu.ops.closest_point import (closest_point_on_mesh,
+                                               closest_point_on_mesh_2stage)
+    rng = np.random.default_rng(7)
+    # Structured bumpy sphere triangulation (uniform triangle sizes).
+    n_u, n_v = 60, 30
+    us = np.linspace(0, 2 * np.pi, n_u, endpoint=False)
+    vs = np.linspace(0.05, np.pi - 0.05, n_v)
+    U, V = np.meshgrid(us, vs, indexing="ij")
+    r = 1.0 + 0.1 * np.sin(3 * U) * np.cos(2 * V)
+    verts = np.stack([r * np.sin(V) * np.cos(U), r * np.sin(V) * np.sin(U),
+                      r * np.cos(V)], axis=-1).reshape(-1, 3)
+    faces = []
+    for i in range(n_u):
+        for j in range(n_v - 1):
+            a = i * n_v + j
+            b = ((i + 1) % n_u) * n_v + j
+            faces.append([a, b, a + 1])
+            faces.append([b, b + 1, a + 1])
+    tri = jnp.asarray(verts[np.asarray(faces)])
+    q = jnp.asarray(rng.normal(size=(400, 3)) * 1.3)
+    exact = np.asarray(closest_point_on_mesh(q, tri))
+    fast = np.asarray(closest_point_on_mesh_2stage(q, tri, k=48))
+    d_e = np.linalg.norm(np.asarray(q) - exact, axis=1)
+    d_f = np.linalg.norm(np.asarray(q) - fast, axis=1)
+    assert np.allclose(d_f, d_e, rtol=1e-9, atol=1e-11)
+
+
+DATA_GEO = "/root/reference/Geometry/Geometry_model"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(DATA_GEO),
+                    reason="reference data not mounted")
+def test_closest_point_2stage_exact_on_real_mesh():
+    import jax.numpy as jnp
+    from aa_admm_tpu.core.meshio import load_obj
+    from aa_admm_tpu.ops.closest_point import (closest_point_on_mesh,
+                                               closest_point_on_mesh_2stage)
+    ref = load_obj(DATA_GEO + "/PQMeshData/trimesh/costa2k_tri.obj")
+    tri = jnp.asarray(ref.verts[ref.faces])
+    rng = np.random.default_rng(1)
+    lo, hi = ref.verts.min(0), ref.verts.max(0)
+    q = jnp.asarray(lo + (hi - lo) * rng.random((300, 3)))
+    d_e = np.linalg.norm(np.asarray(q) - np.asarray(
+        closest_point_on_mesh(q, tri)), axis=1)
+    d_f = np.linalg.norm(np.asarray(q) - np.asarray(
+        closest_point_on_mesh_2stage(q, tri, k=48)), axis=1)
+    assert np.allclose(d_f, d_e, rtol=1e-9, atol=1e-11)

@@ -1,0 +1,50 @@
+"""Instrumented (per-phase) step must reproduce the fused scan exactly."""
+
+import numpy as np
+
+from aa_admm_tpu.core.config import AccelType, Lame, Settings
+from aa_admm_tpu.core.factory import make_tet_blocks
+from aa_admm_tpu.solver.physics import PhysicsSolver, UpdateOrder
+
+
+def _mk(accel):
+    mesh = make_tet_blocks(3, 2, 2)
+    lo, hi = mesh.bounds()
+    mesh.verts = (mesh.verts - 0.5 * (lo + hi)) / (hi - lo)[1]
+    s = Settings()
+    s.admm_iters = 25
+    s.verbose = 0
+    if accel:
+        s.acceleration_type = AccelType.ANDERSON
+        s.anderson_m = 4
+    solver = PhysicsSolver(order=UpdateOrder.XZU)
+    solver.add_tetmesh(mesh.verts, mesh.tets,
+                       Lame.from_young_poisson(1e6, 0.3))
+    solver.set_pins([0, 1])
+    solver.initialize(s)
+    return solver
+
+
+def test_instrumented_matches_fused_noacc():
+    a, b = _mk(False), _mk(False)
+    tr = a.step()
+    prims_i, combs_i = b.step_instrumented()
+    prims_f = np.asarray(tr.prim)
+    assert np.allclose(prims_f[: len(prims_i)], prims_i, rtol=1e-10)
+    assert np.allclose(np.asarray(tr.comb)[: len(combs_i)], combs_i,
+                       rtol=1e-10)
+    assert np.allclose(a.x, b.x, rtol=1e-12, atol=1e-14)
+    # Phase buckets were populated.
+    assert b.runtime.global_ms > 0 and b.runtime.local_ms > 0
+
+
+def test_instrumented_matches_fused_accel():
+    a, b = _mk(True), _mk(True)
+    tr = a.step()
+    prims_i, combs_i = b.step_instrumented()
+    prims_f = np.asarray(tr.prim)
+    prims_f = prims_f[~np.isnan(prims_f)]
+    n = min(len(prims_f), len(prims_i))
+    assert np.allclose(prims_f[:n], prims_i[:n], rtol=1e-9)
+    assert np.allclose(a.x, b.x, rtol=1e-9, atol=1e-12)
+    assert b.runtime.acceleration_ms > 0
