@@ -277,24 +277,26 @@ class PinBatch:
 class CollisionBatch:
     """Per-vertex hard-collision terms (zxu Collision energy,
     CollisionEnergyTerm.hpp:41-117): identity reduction, prox snaps to the
-    passive-collider surface when penetrating; weight = sqrt(2*bulk(soft_rubber)).
-    """
+    nearest penetrating passive collider (analytic SDFs and/or tet-mesh
+    obstacles); weight = sqrt(2*bulk(soft_rubber))."""
 
     idx: jnp.ndarray      # (E,) int32
     active: jnp.ndarray   # (E,) bool
     w: jnp.ndarray        # (E,)
     scene: SdfScene
+    mesh_sdfs: tuple = ()
 
     zdim = (3,)
 
     @classmethod
-    def create(cls, idx, scene: SdfScene, dtype=np.float64) -> "CollisionBatch":
+    def create(cls, idx, scene: SdfScene, mesh_sdfs=(),
+               dtype=np.float64) -> "CollisionBatch":
         E = len(idx)
         w = np.full(E, np.sqrt(Lame.soft_rubber().bulk_modulus * 2.0), dtype)
         idx_h = np.asarray(idx, np.int32)
         out = cls(idx=jnp.asarray(idx_h),
                   active=jnp.ones((E,), bool),
-                  w=jnp.asarray(w), scene=scene)
+                  w=jnp.asarray(w), scene=scene, mesh_sdfs=tuple(mesh_sdfs))
         return _host_mirror(out, idx=idx_h, w=w)
 
     def deform(self, x):
@@ -304,7 +306,8 @@ class CollisionBatch:
         return jax.ops.segment_sum(t, self.idx, num_segments=n_verts)
 
     def prox(self, v):
-        return proxops.prox_collision(v, self.scene, self.active)
+        return proxops.prox_collision(v, self.scene, self.active,
+                                      self.mesh_sdfs)
 
     def grad(self, z):
         return jnp.zeros_like(z)

@@ -279,9 +279,16 @@ def prox_pin(v, pin_pos, active):
     return jnp.where(active[..., None], pin_pos, v)
 
 
-def prox_collision(v, sdf_scene, active):
-    """Collision::prox — snap z to the surface point when the passive-collider
-    SDF is negative (CollisionEnergyTerm.hpp:79-91)."""
+def prox_collision(v, sdf_scene, active, mesh_sdfs=()):
+    """Collision::prox — snap z to the surface point of the nearest
+    penetrating passive collider (analytic SDFs and/or mesh obstacles,
+    CollisionEnergyTerm.hpp:79-91: all passive_objs are folded by min
+    distance)."""
     d, point = sdf_scene.signed_distance(v)
+    for m in mesh_sdfs:
+        dm, pm = m.signed_distance(v)
+        closer = dm < d
+        d = jnp.where(closer, dm, d)
+        point = jnp.where(closer[..., None], pm, point)
     hit = active & (d < 0.0)
     return jnp.where(hit[..., None], point, v)

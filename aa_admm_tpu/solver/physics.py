@@ -572,6 +572,7 @@ class PhysicsSolver:
         self.pins: dict[int, np.ndarray] = {}
         self.collisions: dict[int, np.ndarray] = {}
         self.sdf_builder = SdfSceneBuilder()
+        self.mesh_obstacles: List = []
         self.wind: Optional[WindForce] = None
         self.system: Optional[PhysicsSystem] = None
         self.x: Optional[np.ndarray] = None
@@ -650,8 +651,14 @@ class PhysicsSolver:
             self.collisions[int(idx)] = p
 
     def add_obstacle(self, kind: str, **kw):
-        """Solver::add_obstacle — analytic passive colliders."""
-        getattr(self.sdf_builder, f"add_{kind}")(**kw)
+        """Solver::add_obstacle — analytic passive colliders, or a static
+        tet-mesh obstacle (PassiveMesh) with kind='mesh'
+        (verts=..., tets=...)."""
+        if kind == "mesh":
+            from ..ops.collider import TetMeshSdf
+            self.mesh_obstacles.append(TetMeshSdf.create(**kw))
+        else:
+            getattr(self.sdf_builder, f"add_{kind}")(**kw)
 
     def set_wind(self, faces, direction, alpha_n: float = 1000.0):
         self.wind = WindForce(
@@ -703,10 +710,11 @@ class PhysicsSolver:
                     "Solver.cpp:486-489)")
             scene = self.sdf_builder.build()
             batches.append(CollisionBatch.create(
-                sorted(self.collisions), scene, dtype=dtype))
+                sorted(self.collisions), scene,
+                mesh_sdfs=self.mesh_obstacles, dtype=dtype))
         elif self.sdf_builder.floors or self.sdf_builder.spheres or \
                 self.sdf_builder.phs or self.sdf_builder.cyls or \
-                self.sdf_builder.slides:
+                self.sdf_builder.slides or self.mesh_obstacles:
             if self.order == UpdateOrder.XZU:
                 raise ValueError("No collisions with the LDLT (xzu) solver")
 

@@ -77,3 +77,35 @@ def test_detect_combines_scene_and_mesh():
     hit = np.asarray(passive.hit)
     assert hit.tolist() == [True, True, False]
     assert np.asarray(passive.dx)[0] < 0
+
+
+def test_zxu_mesh_obstacle():
+    """A box dropped onto a static tet-mesh obstacle via add_obstacle('mesh')."""
+    from aa_admm_tpu.core.config import Lame, Settings
+    from aa_admm_tpu.solver.physics import PhysicsSolver, UpdateOrder
+
+    falling = make_tet_blocks(1, 1, 1)
+    falling.verts = falling.verts + np.array([0.0, 2.0, 0.0])
+    # Obstacle must be a CONFORMING tet mesh (like the reference's tetgen
+    # assets): a single 5-tet cube scaled into a slab. Multi-cube factory
+    # blocks have non-conforming interface diagonals, so count-based surface
+    # extraction keeps internal walls (same artifact as mclscene's factory).
+    obstacle = make_tet_blocks(1, 1, 1)
+    obstacle.verts = (obstacle.verts * np.array([3.0, 1.0, 3.0])
+                      + np.array([-1.0, -1.5, -1.0]))
+
+    s = Settings()
+    s.admm_iters = 15
+    s.verbose = 0
+    solver = PhysicsSolver(order=UpdateOrder.ZXU)
+    solver.add_tetmesh(falling.verts, falling.tets, Lame.rubber())
+    solver.add_obstacle("mesh", verts=obstacle.verts, tets=obstacle.tets)
+    solver.set_collisions(list(range(len(falling.verts))))
+    solver.initialize(s)
+    for _ in range(40):
+        solver.step()
+    # Obstacle top surface is y=-0.5; the box must rest on/above it
+    # (small penetration tolerated), not fall through.
+    assert solver.x[:, 1].min() > -0.8
+    assert solver.x[:, 1].min() < 0.2
+    assert np.all(np.isfinite(solver.x))
