@@ -99,7 +99,7 @@ def _sqnorm_all(ts):
     return sum(jnp.sum(t * t) for t in ts)
 
 
-def _solve_x(system: GeometrySystem, z_hard, u, z_soft):
+def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None):
     """x-update (ALMGeometrySolver::ADMM_x_update, :442-450):
     A x = rhs_fixed + rho D_h^T (z_h - u) + D_s^T W_s z_s."""
     rhs = system.rhs_fixed
@@ -126,7 +126,7 @@ def _solve_x(system: GeometrySystem, z_hard, u, z_soft):
         return out + _reg_apply(system, v)
 
     x, _ = pcg(operator, rhs, system.precond_diag, tol=system.cg_tol,
-               max_iters=system.cg_max_iters)
+               max_iters=system.cg_max_iters, x0=x_warm)
     return x
 
 
@@ -174,7 +174,7 @@ def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
                     for b, d, ui in zip(system.hard, dx_h, cu))
         z_s = tuple(b.project(d) for b, d in zip(system.soft, dx_s))
 
-        new_x = _solve_x(system, z_h, cu, z_s)
+        new_x = _solve_x(system, z_h, cu, z_s, x_warm=cx)
         dx_h2 = system.transform_hard(new_x)
         new_u = tuple(ui + d - zh for ui, d, zh in zip(cu, dx_h2, z_h))
 

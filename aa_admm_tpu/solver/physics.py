@@ -53,7 +53,14 @@ def _static(**kw):
 @dataclasses.dataclass(frozen=True)
 class WindForce:
     """Wejchert-Haumann aerodynamic per-triangle normal force applied as a
-    pre-ADMM velocity kick (ExplicitForce.cpp:47-104)."""
+    pre-ADMM velocity kick (ExplicitForce.cpp:47-104).
+
+    Deliberate divergence: the reference's OpenMP loop reads ``v`` while
+    writing it (later triangles see earlier triangles' forces), making the
+    result schedule- and thread-count-dependent. This implementation is the
+    deterministic Jacobi form: all forces evaluated against the pre-kick
+    velocity, then scattered — bit-reproducible, and what the racy loop
+    approximates."""
 
     faces: jnp.ndarray      # (F, 3) int32
     direction: jnp.ndarray  # (3,)
@@ -168,9 +175,13 @@ def _prim_vec(system, x_full, z):
     return _tmap(lambda b, f, zb: _wx(b, f - zb), system.batches, F, z)
 
 
-def _solve_x(system: PhysicsSystem, M_xbar_free, z, u, c_blocks, base_full):
+def _solve_x(system: PhysicsSystem, M_xbar_free, z, u, c_blocks, base_full,
+             x_warm=None):
     """Global step: x = A^-1 (M xbar + dt2p * D^T W (W z + C - u))
-    (Solver.cpp:148-149). c_blocks = F_b(pin embedding), constant per step."""
+    (Solver.cpp:148-149). c_blocks = F_b(pin embedding), constant per step.
+    x_warm (full positions) warm-starts the CG path — successive ADMM
+    iterations move x little, so CG converges in a fraction of the
+    cold-start iterations (the direct path is unaffected)."""
     t = _tmap(lambda b, zb, ub, cb: _wx(b, zb - cb, 2) - _wx(b, ub),
               system.batches, z, u, c_blocks)
     s = system.scatter(t)
@@ -186,8 +197,9 @@ def _solve_x(system: PhysicsSystem, M_xbar_free, z, u, c_blocks, base_full):
             sv = system.scatter(tv)
             return (system.masses[system.free_idx, None] * vf
                     + system.dt2p * sv[system.free_idx])
+        x0 = None if x_warm is None else x_warm[system.free_idx]
         xf, _ = pcg(operator, rhs, system.precond_diag,
-                    tol=system.cg_tol, max_iters=system.cg_max_iters)
+                    tol=system.cg_tol, max_iters=system.cg_max_iters, x0=x0)
     return base_full.at[system.free_idx].set(xf)
 
 
@@ -250,7 +262,8 @@ def step_xzu(system: PhysicsSystem, x, v, pin_pos):
             # u += Dx - Wz - C (Solver.cpp:138-141)
             cu = _tmap(jnp.add, cu, _prim_vec(system, cx, cz))
 
-        cx = _solve_x(system, M_xbar_free, cz, cu, c_blocks, base_full)
+        cx = _solve_x(system, M_xbar_free, cz, cu, c_blocks, base_full,
+                      x_warm=cx)
         prim = jnp.sqrt(_sqnorm_all(_prim_vec(system, cx, cz)))
 
         if accel:
@@ -497,7 +510,8 @@ def step_zxu(system: PhysicsSystem, x, v, pin_pos):
 
         last_x = cx
         prev = prim
-        cx = _solve_x(system, M_xbar_free, cz, cu, c_blocks, base_full)
+        cx = _solve_x(system, M_xbar_free, cz, cu, c_blocks, base_full,
+                      x_warm=last_x)
 
         # Combined residual (zxu Solver.cpp:181-185).
         prim_v = _prim_vec(system, cx, cz)
@@ -575,8 +589,11 @@ class PhysicsSolver:
         self.mesh_obstacles: List = []
         self.wind: Optional[WindForce] = None
         self.system: Optional[PhysicsSystem] = None
-        self.x: Optional[np.ndarray] = None
-        self.v: Optional[np.ndarray] = None
+        self._x_dev = None
+        self._v_dev = None
+        self._x_host: Optional[np.ndarray] = None
+        self._v_host: Optional[np.ndarray] = None
+        self._pending_traces: List[StepTrace] = []
         self.settings = Settings()
         self.initialized = False
         # residual history across steps (for save())
@@ -609,9 +626,11 @@ class PhysicsSolver:
         self._tet_groups.append((mesh.tets + offset, lame, kind))
         return offset
 
-    def add_trimesh(self, verts, faces, lame: Lame, density: float = 1522.0,
+    def add_trimesh(self, verts, faces, lame: Lame, density: float = 1.0,
                     thickness: float = 1.0):
-        """binding::add_trimesh: cloth surface with area-lumped masses."""
+        """binding::add_trimesh (AddMeshes.hpp:180-235): cloth surface with
+        area-lumped masses at density 1.0 kg/m^2 (the reference's TODO
+        placeholder value, AddMeshes.hpp:189)."""
         offset = self.n_verts
         verts = np.asarray(verts, np.float64)
         faces = np.asarray(faces, np.int32)
@@ -629,10 +648,12 @@ class PhysicsSolver:
     def set_pins(self, inds: Sequence[int], points: Optional[Sequence] = None):
         """Solver::set_pins (Solver.cpp:330-363). Pin in place when points
         is None; pinned vertex *set* may not change after initialize."""
-        x = self._all_verts() if self.x is None else self.x
         new_pins = {}
+        x = None
         for i, idx in enumerate(inds):
             if points is None:
+                if x is None:
+                    x = self._all_verts() if self._x_dev is None else self.x
                 new_pins[int(idx)] = x[int(idx)].copy()
             else:
                 new_pins[int(idx)] = np.asarray(points[i], np.float64)
@@ -671,7 +692,11 @@ class PhysicsSolver:
                 if self.verts else np.zeros((0, 3)))
 
     def _refresh_pin_pos(self):
-        pp = np.array(self.x)
+        # Only pinned rows of pin_pos are ever read (the step masks free
+        # rows), so no positions fetch is needed.
+        n = self.n_verts
+        dtype = np.dtype(self.settings.dtype)
+        pp = np.zeros((n, 3), dtype)
         for idx, p in self.pins.items():
             pp[idx] = p
         self.pin_pos = pp
@@ -770,37 +795,77 @@ class PhysicsSolver:
     # ---- step ----
 
     def step(self) -> StepTrace:
-        """One timestep (Solver::step). Updates x, v and appends residual
-        history; returns the per-iteration trace."""
+        """One timestep (Solver::step). Updates x, v (device-resident — no
+        host synchronization beyond completion) and queues the residual
+        trace; call flush_traces()/save() to materialize history. Returns
+        the per-iteration trace (device arrays)."""
         assert self.initialized
         t = MicroTimer()
         fn = step_xzu if self.order == UpdateOrder.XZU else step_zxu
         x_new, v_new, trace = fn(self.system,
-                                 jnp.asarray(self.x), jnp.asarray(self.v),
+                                 self._x_dev, self._v_dev,
                                  jnp.asarray(self.pin_pos))
         x_new.block_until_ready()
         elapsed = t.elapsed_ms()
-        self.x = np.asarray(x_new)
-        self.v = np.asarray(v_new)
-
-        prim = np.asarray(trace.prim)
-        comb = np.asarray(trace.comb)
-        rej = np.asarray(trace.reject)
-        valid = ~np.isnan(prim)
-        nv = int(valid.sum())
-        per_iter = elapsed / max(1, self.system.admm_iters)
-        t0 = self.step_times[-1] if self.step_times else 0.0
-        for i in np.nonzero(valid)[0]:
-            self.step_prim.append(float(prim[i]))
-            self.step_comb.append(float(comb[i]))
-            self.step_reject.append(int(rej[i]))
-            self.step_times.append(t0 + (i + 1) * per_iter)
-        self.reset_num += int(trace.reset_count)
+        self._x_dev = x_new
+        self._v_dev = v_new
+        self._x_host = None
+        self._v_host = None
+        self._pending_traces.append(trace)
         self.runtime.step_time.append(elapsed)
         if self.settings.verbose > 0:
-            print(f"step: {elapsed:.2f}ms, {nv} iters, "
+            print(f"step: {elapsed:.2f}ms, "
                   f"reset number = {int(trace.reset_count)}")
         return trace
+
+    # Positions/velocities live on device between steps; host views are
+    # fetched lazily (the accelerator transport can be slow per transfer,
+    # so per-step sync would dominate).
+    @property
+    def x(self):
+        if self._x_host is None and self._x_dev is not None:
+            self._x_host = np.asarray(self._x_dev)
+        return self._x_host
+
+    @x.setter
+    def x(self, value):
+        self._x_host = None if value is None else np.asarray(value)
+        self._x_dev = None if value is None else jnp.asarray(
+            self._x_host)
+
+    @property
+    def v(self):
+        if self._v_host is None and self._v_dev is not None:
+            self._v_host = np.asarray(self._v_dev)
+        return self._v_host
+
+    @v.setter
+    def v(self, value):
+        self._v_host = None if value is None else np.asarray(value)
+        self._v_dev = None if value is None else jnp.asarray(
+            self._v_host)
+
+    def flush_traces(self):
+        """Materialize queued per-step traces into the residual history
+        (one batched host fetch)."""
+        if not self._pending_traces:
+            return
+        traces = jax.device_get(self._pending_traces)
+        self._pending_traces = []
+        times = self.runtime.step_time[-len(traces):]
+        for trace, elapsed in zip(traces, times):
+            prim = np.asarray(trace.prim)
+            comb = np.asarray(trace.comb)
+            rej = np.asarray(trace.reject)
+            valid = ~np.isnan(prim)
+            per_iter = elapsed / max(1, self.system.admm_iters)
+            t0 = self.step_times[-1] if self.step_times else 0.0
+            for i in np.nonzero(valid)[0]:
+                self.step_prim.append(float(prim[i]))
+                self.step_comb.append(float(comb[i]))
+                self.step_reject.append(int(rej[i]))
+                self.step_times.append(t0 + (i + 1) * per_iter)
+            self.reset_num += int(trace.reset_count)
 
     def step_instrumented(self):
         """One xzu timestep with per-phase RuntimeData accumulation
@@ -830,12 +895,30 @@ class PhysicsSolver:
     # ---- persistence (Solver::save / ::load, Solver.hpp:126-215) ----
 
     def save(self, result_dir: str = "result"):
+        self.flush_traces()
         m = self.settings.anderson_m if self.settings.accelerated else 0
         name = f"residual-{m}.txt" if m > 0 else "residual-no.txt"
         reject = (self.step_reject if self.order == UpdateOrder.ZXU else None)
         save_residual_file(os.path.join(result_dir, name),
                            [t / 1e3 for t in self.step_times],
                            self.step_prim, self.step_comb, reject)
+
+    def save_matrix(self, filename: str):
+        """Dump the assembled global system matrix (per-coordinate node
+        matrix; Solver::save_matrix, Solver.cpp:501-506) for analysis."""
+        assert self.initialized
+        s = self.settings
+        dt2p = (s.penalty if self.order == UpdateOrder.ZXU else 1.0) \
+            * s.timestep_s ** 2
+        masses = np.concatenate(self.masses)
+        A = dt2p * assemble_node_matrix(self.n_verts,
+                                        list(self.system.batches))
+        A[np.arange(self.n_verts), np.arange(self.n_verts)] += masses
+        free = np.asarray(self.system.free_idx)
+        A_free = A[np.ix_(free, free)]
+        print(f"Saving matrix ({A_free.shape[0]}x{A_free.shape[1]}) "
+              f"to {filename}")
+        np.savetxt(filename, A_free, fmt="%.16g")
 
     def save_state(self, path: str):
         np.savez(path, x=self.x, v=self.v)

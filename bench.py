@@ -44,6 +44,11 @@ def main():
 
     iters_per_s = n_steps * settings.admm_iters / elapsed
 
+    # Outside the timed window: fetch traces and sanity-check convergence.
+    solver.flush_traces()
+    assert solver.step_prim and all(
+        p == p for p in solver.step_prim), "non-finite residuals"
+
     vs_baseline = 1.0
     base_path = os.path.join(os.path.dirname(__file__), "BASELINE_local.json")
     if os.path.exists(base_path):

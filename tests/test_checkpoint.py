@@ -39,3 +39,25 @@ def test_solverlog():
     assert np.allclose(log.errors, [1.0, 0.5, 0.0])
     log.finalize(lambda x: 2.0 * x, np.ones(5), 2.0 * np.ones(5))
     assert log.final_r == 0.0
+
+
+def test_save_matrix(tmp_path):
+    from aa_admm_tpu.core.config import Lame, Settings
+    from aa_admm_tpu.core.factory import make_tet_blocks
+    from aa_admm_tpu.solver.physics import PhysicsSolver
+    import numpy as np
+
+    mesh = make_tet_blocks(2, 1, 1)
+    s = Settings(); s.verbose = 0; s.admm_iters = 5
+    solver = PhysicsSolver()
+    solver.add_tetmesh(mesh.verts, mesh.tets,
+                       Lame.from_young_poisson(1e6, 0.3))
+    solver.set_pins([0])
+    solver.initialize(s)
+    p = str(tmp_path / "A.txt")
+    solver.save_matrix(p)
+    A = np.loadtxt(p)
+    nf = solver.system.n_free
+    assert A.shape == (nf, nf)
+    assert np.allclose(A, A.T)
+    assert np.all(np.linalg.eigvalsh(A) > 0)  # SPD
