@@ -850,7 +850,15 @@ class PhysicsSolver:
         (one batched host fetch)."""
         if not self._pending_traces:
             return
-        traces = jax.device_get(self._pending_traces)
+        # Stack on device first so the host fetch is a few large transfers
+        # instead of many tiny ones (slow accelerator transports charge a
+        # fixed latency per transfer).
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *self._pending_traces)
+        stacked = jax.device_get(stacked)
+        n = len(self._pending_traces)
+        traces = [jax.tree_util.tree_map(lambda a: a[i], stacked)
+                  for i in range(n)]
         self._pending_traces = []
         times = self.runtime.step_time[-len(traces):]
         for trace, elapsed in zip(traces, times):

@@ -18,6 +18,12 @@ import numpy as np
 
 def main():
     os.environ.setdefault("AAADMM_DTYPE", "float32")
+    platform = os.environ.get("AAADMM_PLATFORM")
+    if platform:
+        # The axon plugin force-selects its platform; this must be overridden
+        # at the config level, not via JAX_PLATFORMS.
+        import jax
+        jax.config.update("jax_platforms", platform)
     from aa_admm_tpu.core.config import AccelType, Settings
     from aa_admm_tpu.apps.beams import build_scene
 
@@ -31,9 +37,12 @@ def main():
 
     solver, stretch = build_scene(settings)
 
-    # Warmup (compile)
+    # Warmup (compile) + first device->host fetch (some transports pay a
+    # large one-time latency on the first readback; keep it out of timing).
     stretch(settings.timestep_s)
-    solver.step()
+    tr = solver.step()
+    _ = np.asarray(tr.reset_count)
+    solver.flush_traces()
 
     n_steps = 10
     t0 = time.perf_counter()
