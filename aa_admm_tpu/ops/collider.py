@@ -138,7 +138,6 @@ class DynamicTetCollider:
         containing its own vertex is skipped (skip_vert_idx,
         DynamicObject.hpp:75-77)."""
         tv = x_all[self.tets]                      # (T, 4, 3) deformed tets
-        P = queries.shape[0]
         xq = queries[:, None, :]
         b = barycoords_tet(xq, tv[None, :, 0], tv[None, :, 1],
                            tv[None, :, 2], tv[None, :, 3])
@@ -150,13 +149,21 @@ class DynamicTetCollider:
         hit = jnp.any(inside, axis=1)
         first = jnp.argmax(inside, axis=1)
         barys4 = jnp.take_along_axis(b, first[:, None, None], axis=1)[:, 0]
-        # Map to rest pose via the hit tet's barycentrics.
+        return self._hit_payload(queries, hit, first, barys4)
+
+    def _hit_payload(self, queries, hit, first, barys4) -> DynamicHit:
+        """Shared tail of detection: map the hit point to the rest pose via
+        the containing tet's barycentrics, then find the nearest rest-pose
+        surface triangle (DynamicObject.hpp:71-118)."""
+        P = queries.shape[0]
         rest_tv = self.rest_verts[self.tets[first] - self.vert_offset]
         restx = jnp.einsum("pk,pkj->pj", barys4, rest_tv)
-        # Nearest rest-pose surface triangle.
         tri = self.rest_verts[self.faces]          # (S, 3, 3)
         q, sqd, tri_idx, n = nearest_surface(restx, tri)
-        # Barycentrics of the projection on that triangle.
+        # Orient outward: restx is interior, so the outward normal points
+        # away from it (surface extraction does not guarantee orientation).
+        flip = jnp.sum(n * (restx - q), -1) > 0
+        n = jnp.where(flip[:, None], -n, n)
         tsel = tri[tri_idx]
         bar = _tri_barycentrics(q, tsel)
         zero = jnp.zeros((P, 3), queries.dtype)
@@ -164,6 +171,107 @@ class DynamicTetCollider:
                           barys=jnp.where(hit[:, None], bar, zero),
                           normal=jnp.where(hit[:, None], n, zero),
                           point=jnp.where(hit[:, None], q, queries))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HashGridTetCollider(DynamicTetCollider):  # noqa: D401
+    """Spatial-hash accelerated TetMeshCollision.
+
+    The reference rebuilds a BVH over the deformed tets every step and
+    traverses it per query (DynamicObject.hpp:65-68) — a pointer-chasing
+    structure with data-dependent depth, hostile to TPUs. The TPU-native
+    replacement is a *sorted spatial hash*, rebuilt on device each call with
+    fixed shapes:
+
+      1. deformed tet centroids -> integer cells of side h = 1.05 x the
+         largest deformed tet circumradius: a query inside a tet is within
+         the circumradius of its centroid, so with h >= circumradius the
+         centroid's cell is within the query's 3x3x3 cell neighborhood;
+      2. cells hashed into 2^k buckets; tets sorted by bucket id;
+      3. per query, the 27 neighbor buckets give candidate ranges via two
+         searchsorted calls; up to ``cap`` candidates per bucket are gathered
+         (hash collisions only add false candidates — the exact barycentric
+         containment test filters them);
+      4. the barycentric test runs on (P, 27*cap) candidates instead of
+         (P, T): O(P) work per step instead of O(P*T).
+
+    Matches DynamicTetCollider.detect exactly whenever no bucket overflows
+    ``cap`` (the smallest containing tet index is selected, like the dense
+    argmax); tested against the dense path in tests/test_collider.py.
+    """
+
+    n_buckets: int = dataclasses.field(metadata=dict(static=True),
+                                       default=2048)
+    cap: int = dataclasses.field(metadata=dict(static=True), default=8)
+
+    @classmethod
+    def create(cls, verts, tets, vert_offset=0, dtype=np.float64,
+               n_buckets=2048, cap=8):
+        base = DynamicTetCollider.create(verts, tets, vert_offset, dtype)
+        return cls(tets=base.tets, faces=base.faces,
+                   rest_verts=base.rest_verts, vert_offset=base.vert_offset,
+                   n_buckets=n_buckets, cap=cap)
+
+    def _hash_cells(self, cx, cy, cz):
+        # Large-prime XOR hash (Teschner et al. 2003), power-of-two buckets.
+        h = (cx * 73856093) ^ (cy * 19349663) ^ (cz * 83492791)
+        return h & (self.n_buckets - 1)
+
+    def max_bucket_load(self, x_all) -> int:
+        """Largest number of tets sharing a hash bucket at positions x_all —
+        must stay <= cap for exactness (use to size ``cap`` in tests/setup)."""
+        tv = x_all[self.tets]
+        centroid = jnp.mean(tv, axis=1)
+        rad2 = jnp.max(jnp.sum((tv - centroid[:, None, :]) ** 2, -1), axis=1)
+        h = 1.05 * jnp.sqrt(jnp.max(rad2)) + 1e-30
+        tc = jnp.floor(centroid / h).astype(jnp.int32)
+        th = self._hash_cells(tc[:, 0], tc[:, 1], tc[:, 2])
+        return int(jnp.max(jnp.bincount(th, length=self.n_buckets)))
+
+    def detect(self, queries, x_all, query_ids=None) -> DynamicHit:
+        tv = x_all[self.tets]                        # (T, 4, 3)
+        T = tv.shape[0]
+        centroid = jnp.mean(tv, axis=1)              # (T, 3)
+        rad2 = jnp.max(jnp.sum((tv - centroid[:, None, :]) ** 2, -1), axis=1)
+        h = 1.05 * jnp.sqrt(jnp.max(rad2)) + 1e-30   # dynamic cell size
+
+        tc = jnp.floor(centroid / h).astype(jnp.int32)
+        tet_hash = self._hash_cells(tc[:, 0], tc[:, 1], tc[:, 2])  # (T,)
+        order = jnp.argsort(tet_hash)
+        sorted_hash = tet_hash[order]
+
+        qc = jnp.floor(queries / h).astype(jnp.int32)  # (P, 3)
+        offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3),
+                                      indexing="ij"), -1).reshape(27, 3)
+        nbr = qc[:, None, :] + offs[None, :, :]        # (P, 27, 3)
+        nh = self._hash_cells(nbr[..., 0], nbr[..., 1], nbr[..., 2])
+        starts = jnp.searchsorted(sorted_hash, nh, side="left")   # (P, 27)
+        ends = jnp.searchsorted(sorted_hash, nh, side="right")
+
+        slot = starts[..., None] + jnp.arange(self.cap)           # (P, 27, cap)
+        valid = slot < ends[..., None]
+        cand = order[jnp.clip(slot, 0, T - 1)]                    # (P, 27, cap)
+        P = queries.shape[0]
+        cand = cand.reshape(P, -1)
+        valid = valid.reshape(P, -1)
+
+        ctv = tv[cand]                                            # (P, C, 4, 3)
+        b = barycoords_tet(queries[:, None, :], ctv[:, :, 0], ctv[:, :, 1],
+                           ctv[:, :, 2], ctv[:, :, 3])            # (P, C, 4)
+        inside = jnp.all(b >= 0.0, axis=-1) & valid
+        if query_ids is not None:
+            own = jnp.any(self.tets[cand] == query_ids[:, None, None],
+                          axis=-1)
+            inside = inside & ~own
+        hit = jnp.any(inside, axis=1)
+        # Deterministic pick matching the dense path: smallest tet index.
+        pick_key = jnp.where(inside, cand, T)
+        j = jnp.argmin(pick_key, axis=1)
+        first = jnp.minimum(jnp.take_along_axis(pick_key, j[:, None],
+                                                axis=1)[:, 0], T - 1)
+        barys4 = jnp.take_along_axis(b, j[:, None, None], axis=1)[:, 0]
+        return self._hit_payload(queries, hit, first, barys4)
 
 
 def _tri_barycentrics(p, tri):

@@ -318,13 +318,22 @@ def wexpand(batch, a):
 
 
 def assemble_geometry_node_matrix(n_verts: int, hard, soft, rho: float,
-                                  reg_rows=None) -> np.ndarray:
+                                  reg_rows=None, vertex_map=None) -> np.ndarray:
     """Host-side dense per-coordinate global matrix
     ``rho * D_h^T D_h + D_s^T W_s^2 D_s + L^T L``
-    (ALMGeometrySolver::setup_ADMM, ALMGeometrySolver.h:96-141)."""
+    (ALMGeometrySolver::setup_ADMM, ALMGeometrySolver.h:96-141).
+
+    With ``vertex_map`` (n_fine,) -> [0, n_verts), assembles the Galerkin
+    coarse operator P^T A P for the piecewise-constant prolongation instead:
+    scatter-adding each constraint's local stiffness at the mapped indices
+    sums exactly the rows/columns P^T A P sums (solver/multigrid.py).
+    """
+    def remap(idx):
+        return idx if vertex_map is None else vertex_map[idx]
+
     def add_batch(A, b, scale_w):
         if isinstance(b, PlaneBatch):
-            idx = hostarr(b, 'idx')
+            idx = remap(hostarr(b, 'idx'))
             mask = hostarr(b, 'mask').astype(np.float64)
             cnt = hostarr(b, 'count')
             w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(idx))
@@ -337,20 +346,20 @@ def assemble_geometry_node_matrix(n_verts: int, hard, soft, rho: float,
             np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
         elif isinstance(b, AngleBatch):
             w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
-            idx = hostarr(b, 'idx')
+            idx = remap(hostarr(b, 'idx'))
             # rows: [-1 1 0], [-1 0 1] over (tip, s1, s2)
             G = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
             K = np.einsum("c,ir,jr->cij", w2, G, G)
             np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
         elif isinstance(b, EdgeLengthBatch):
             w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
-            idx = hostarr(b, 'idx')
+            idx = remap(hostarr(b, 'idx'))
             G = np.array([[-1.0], [1.0]])
             K = np.einsum("c,ir,jr->cij", w2, G, G)
             np.add.at(A, (idx[:, :, None], idx[:, None, :]), K)
         else:  # identity transforms
             w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
-            idx = hostarr(b, 'idx')
+            idx = remap(hostarr(b, 'idx'))
             np.add.at(A, (idx, idx), w2)
 
     A = np.zeros((n_verts, n_verts))
@@ -361,6 +370,7 @@ def assemble_geometry_node_matrix(n_verts: int, hard, soft, rho: float,
         add_batch(A, b, scale_w=True)
     if reg_rows is not None:
         idx, coef, mask = reg_rows
+        idx = remap(idx)
         # L^T L: rows (R, K) with coefficients coef and validity mask.
         cm = coef * mask
         K = np.einsum("ri,rj->rij", cm, cm)

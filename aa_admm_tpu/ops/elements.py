@@ -316,6 +316,61 @@ class CollisionBatch:
         return jnp.zeros(z.shape[0], z.dtype)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SelfCollisionBatch:
+    """Per-vertex self-collision terms — the TPU-native counterpart of the
+    reference's dynamic TetMeshCollision path (DynamicObject.hpp:30-120 +
+    the per-vertex collision-energy treatment of CollisionEnergyTerm.hpp).
+
+    The reference rebuilds a BVH per step and (in the vestigial ConstraintSet
+    path) converts hits into linear constraints; here detection runs once per
+    timestep on the predicted positions via ``HashGridTetCollider`` (see
+    PhysicsSolver.step), and the resulting contact (surface point + outward
+    normal in the *deformed* pose) is frozen for the step's ADMM iterations:
+    the prox snaps a candidate z to the contact point whenever it lies on the
+    penetrating side of the frozen contact plane. Identity reduction; weight
+    sqrt(2*bulk(soft_rubber)) like the passive collision terms
+    (CollisionEnergyTerm.hpp:63-70).
+    """
+
+    idx: jnp.ndarray     # (E,) int32 — candidate vertices (usually all)
+    w: jnp.ndarray       # (E,)
+    active: jnp.ndarray  # (E,) bool — refreshed per step
+    target: jnp.ndarray  # (E, 3) deformed contact point, per step
+    normal: jnp.ndarray  # (E, 3) deformed outward normal, per step
+
+    zdim = (3,)
+
+    @classmethod
+    def create(cls, idx, dtype=np.float64) -> "SelfCollisionBatch":
+        E = len(idx)
+        w = np.full(E, np.sqrt(Lame.soft_rubber().bulk_modulus * 2.0), dtype)
+        idx_h = np.asarray(idx, np.int32)
+        out = cls(idx=jnp.asarray(idx_h), w=jnp.asarray(w),
+                  active=jnp.zeros((E,), bool),
+                  target=jnp.zeros((E, 3), dtype),
+                  normal=jnp.zeros((E, 3), dtype))
+        return _host_mirror(out, idx=idx_h, w=w)
+
+    def deform(self, x):
+        return x[self.idx]
+
+    def scatter(self, t, n_verts):
+        return jax.ops.segment_sum(t, self.idx, num_segments=n_verts)
+
+    def prox(self, v):
+        pen = jnp.sum((v - self.target) * self.normal, axis=-1) < 0.0
+        hit = self.active & pen
+        return jnp.where(hit[..., None], self.target, v)
+
+    def grad(self, z):
+        return jnp.zeros_like(z)
+
+    def energy(self, z):
+        return jnp.zeros(z.shape[0], z.dtype)
+
+
 def wexpand(batch, a):
     """Broadcast per-element weights onto a z-block array."""
     extra = a.ndim - batch.w.ndim

@@ -59,6 +59,7 @@ class GeometrySystem:
     solver: Optional[DenseInverseSolver]
     precond_diag: Optional[jnp.ndarray]
     rhs_fixed: jnp.ndarray           # (n, 3) = L^T * reg_rhs
+    mg: Optional["TwoLevelPrecond"] = None  # two-level precond (PCG path)
     reg: Optional[RegRows] = None
     n_verts: int = _static(default=0)
     rho: float = _static(default=1.0)
@@ -126,7 +127,8 @@ def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None):
         return out + _reg_apply(system, v)
 
     x, _ = pcg(operator, rhs, system.precond_diag, tol=system.cg_tol,
-               max_iters=system.cg_max_iters, x0=x_warm)
+               max_iters=system.cg_max_iters, x0=x_warm,
+               precond=system.mg.apply if system.mg is not None else None)
     return x
 
 
@@ -357,11 +359,15 @@ class ALMGeometrySolver:
                 n_points, self.hard, self.soft, penalty_param, reg_rows=reg)
             solver = DenseInverseSolver(Ainv=dense_inverse(A, dtype=self.dtype))
             precond = None
+            mg = None
         else:
             solver = None
-            precond = jnp.asarray(_geometry_node_diag(
-                n_points, self.hard, self.soft, penalty_param,
-                reg).astype(self.dtype))
+            diag = _geometry_node_diag(
+                n_points, self.hard, self.soft, penalty_param, reg)
+            precond = jnp.asarray(diag.astype(self.dtype))
+            from .multigrid import build_two_level
+            mg = build_two_level(n_points, self.hard, self.soft,
+                                 penalty_param, reg, diag, dtype=self.dtype)
 
         reg_struct = None
         if reg is not None and not use_dense:
@@ -372,7 +378,7 @@ class ALMGeometrySolver:
                                  target=jnp.asarray(target))
         self.system = GeometrySystem(
             hard=tuple(self.hard), soft=tuple(self.soft),
-            solver=solver, precond_diag=precond,
+            solver=solver, precond_diag=precond, mg=mg,
             rhs_fixed=jnp.asarray(rhs_fixed.astype(self.dtype)),
             reg=reg_struct,
             n_verts=n_points, rho=float(penalty_param))

@@ -111,17 +111,21 @@ class DenseInverseSolver:
 
 
 def pcg(operator: Callable, rhs, diag, tol: float = 1e-12,
-        max_iters: int = 400, x0=None):
-    """Jacobi-preconditioned CG on (n, ncoord) blocks.
+        max_iters: int = 400, x0=None, precond: Optional[Callable] = None):
+    """Preconditioned CG on (n, ncoord) blocks.
 
     operator: v (n, c) -> A v (n, c), matrix-free.
-    diag: (n,) diagonal of A for the preconditioner.
+    diag: (n,) diagonal of A — the default Jacobi preconditioner.
+    precond: optional M^-1 r callable (e.g. multigrid.TwoLevelPrecond.apply)
+      overriding Jacobi; must be SPD.
     Returns (x, n_iters). Per-column alpha/beta; converged columns freeze.
     """
-    Minv = (1.0 / diag)[:, None]
+    if precond is None:
+        Minv_diag = (1.0 / diag)[:, None]
+        precond = lambda r: Minv_diag * r
     x = jnp.zeros_like(rhs) if x0 is None else x0
     r = rhs - operator(x)
-    z = Minv * r
+    z = precond(r)
     p = z
     rz = jnp.sum(r * z, axis=0)
     rhs_norm2 = jnp.maximum(jnp.sum(rhs * rhs, axis=0), 1e-300)
@@ -140,7 +144,7 @@ def pcg(operator: Callable, rhs, diag, tol: float = 1e-12,
         alpha = jnp.where(active, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
         x = x + alpha[None, :] * p
         r = r - alpha[None, :] * Ap
-        z = Minv * r
+        z = precond(r)
         rz_new = jnp.sum(r * z, axis=0)
         beta = jnp.where(active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
         p = z + beta[None, :] * p

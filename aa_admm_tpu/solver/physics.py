@@ -31,7 +31,8 @@ import numpy as np
 from ..core.config import AccelType, Lame, Settings
 from ..core.meshio import save_residual_file
 from ..core.timers import MicroTimer, RuntimeData
-from ..ops.elements import CollisionBatch, PinBatch, TetBatch, TriBatch
+from ..ops.elements import (CollisionBatch, PinBatch, SelfCollisionBatch,
+                            TetBatch, TriBatch)
 from ..ops.sdf import SdfScene, SdfSceneBuilder
 from . import anderson
 from .linear import (DenseInverseSolver, assemble_node_diag,
@@ -566,6 +567,39 @@ def step_zxu(system: PhysicsSystem, x, v, pin_pos):
                                    carry["resets"])
 
 
+@jax.jit
+def _detect_self_contacts(colliders, x, idx):
+    """Detect penetrations of vertices `idx` against every dynamic collider
+    at positions x; return per-vertex (active, deformed contact point,
+    deformed outward normal). First collider hit wins (the reference keeps
+    one payload per vertex, Collider.hpp:159-210)."""
+    q = x[idx]
+    P = q.shape[0]
+    active = jnp.zeros((P,), bool)
+    target = q
+    normal = jnp.zeros((P, 3), x.dtype)
+    for dc in colliders:
+        h = dc.detect(q, x, query_ids=idx)
+        fv = dc.faces[h.face]                         # (P, 3) local ids
+        tri_def = x[fv + dc.vert_offset]              # (P, 3, 3)
+        tgt = jnp.einsum("pk,pkj->pj", h.barys, tri_def)
+        c_def = jnp.cross(tri_def[:, 1] - tri_def[:, 0],
+                          tri_def[:, 2] - tri_def[:, 0])
+        # Carry the rest-pose outward orientation to the deformed face.
+        tri_rest = dc.rest_verts[fv]
+        c_rest = jnp.cross(tri_rest[:, 1] - tri_rest[:, 0],
+                           tri_rest[:, 2] - tri_rest[:, 0])
+        s = jnp.sign(jnp.sum(c_rest * h.normal, -1))
+        nrm = s[:, None] * c_def
+        nrm = nrm / jnp.maximum(
+            jnp.linalg.norm(nrm, axis=-1, keepdims=True), 1e-300)
+        new = h.hit & ~active
+        active = active | h.hit
+        target = jnp.where(new[:, None], tgt, target)
+        normal = jnp.where(new[:, None], nrm, normal)
+    return active, target, normal
+
+
 # ----------------------------------------------------------------------------
 # Host orchestration — the public API surface of admm::Solver
 # ----------------------------------------------------------------------------
@@ -587,6 +621,8 @@ class PhysicsSolver:
         self.collisions: dict[int, np.ndarray] = {}
         self.sdf_builder = SdfSceneBuilder()
         self.mesh_obstacles: List = []
+        self.dynamic_colliders: List = []
+        self._selfcol_index: Optional[int] = None
         self.wind: Optional[WindForce] = None
         self.system: Optional[PhysicsSystem] = None
         self._x_dev = None
@@ -611,9 +647,11 @@ class PhysicsSolver:
         return sum(len(v) for v in self.verts)
 
     def add_tetmesh(self, verts, tets, lame: Lame, kind: str = "linear",
-                    density: float = 1522.0):
+                    density: float = 1522.0, self_collision: bool = False):
         """binding::add_tetmesh (AddMeshes.hpp:97-177): lumped masses at
-        rubber density 1522 kg/m^3, node append, per-tet energy terms."""
+        rubber density 1522 kg/m^3, node append, per-tet energy terms.
+        self_collision=True registers the mesh as a dynamic collider (the
+        binding's default unless NOSELFCOLLISION, AddMeshes.hpp:124-137)."""
         from ..core.factory import TetMeshData
         offset = self.n_verts
         mesh = TetMeshData(verts=np.asarray(verts, np.float64),
@@ -624,7 +662,20 @@ class PhysicsSolver:
         self.verts.append(mesh.verts)
         self.masses.append(m)
         self._tet_groups.append((mesh.tets + offset, lame, kind))
+        if self_collision:
+            self.add_dynamic_collider(mesh.verts, mesh.tets,
+                                      vert_offset=offset)
         return offset
+
+    def add_dynamic_collider(self, verts, tets, vert_offset: int = 0,
+                             n_buckets: int = 2048, cap: int = 16):
+        """Solver::add_dynamic_collider (Solver.hpp:103-110 /
+        TetMeshCollision): register a deforming tet mesh for self/mutual
+        collision, detected per step via the spatial-hash grid."""
+        from ..ops.collider import HashGridTetCollider
+        self.dynamic_colliders.append(HashGridTetCollider.create(
+            verts, tets, vert_offset=vert_offset,
+            n_buckets=n_buckets, cap=cap))
 
     def add_trimesh(self, verts, faces, lame: Lame, density: float = 1.0,
                     thickness: float = 1.0):
@@ -742,6 +793,16 @@ class PhysicsSolver:
                 self.sdf_builder.slides or self.mesh_obstacles:
             if self.order == UpdateOrder.XZU:
                 raise ValueError("No collisions with the LDLT (xzu) solver")
+        self._selfcol_index = None
+        if self.dynamic_colliders:
+            if self.order != UpdateOrder.ZXU:
+                raise ValueError(
+                    "dynamic/self collision needs the zxu collision-energy "
+                    "path (reference forbids obstacles with the LDLT xzu "
+                    "solver, Solver.cpp:486-489)")
+            self._selfcol_index = len(batches)
+            batches.append(SelfCollisionBatch.create(np.arange(n),
+                                                     dtype=dtype))
 
         free_mask = np.ones(n, bool)
         for idx in self.pins:
@@ -800,6 +861,8 @@ class PhysicsSolver:
         trace; call flush_traces()/save() to materialize history. Returns
         the per-iteration trace (device arrays)."""
         assert self.initialized
+        if self._selfcol_index is not None:
+            self._refresh_self_contacts()
         t = MicroTimer()
         fn = step_xzu if self.order == UpdateOrder.XZU else step_zxu
         x_new, v_new, trace = fn(self.system,
@@ -817,6 +880,26 @@ class PhysicsSolver:
             print(f"step: {elapsed:.2f}ms, "
                   f"reset number = {int(trace.reset_count)}")
         return trace
+
+    def _refresh_self_contacts(self):
+        """Run dynamic-collider detection at the current positions and
+        freeze the contacts (deformed surface point + outward normal) into
+        the SelfCollisionBatch for this step's ADMM iterations — the
+        per-step analogue of the reference's per-step BVH rebuild + detect
+        (DynamicObject.hpp:65-68, Collider.hpp:152-212)."""
+        i = self._selfcol_index
+        b = self.system.batches[i]
+        active, target, normal = _detect_self_contacts(
+            tuple(self.dynamic_colliders), self._x_dev, b.idx)
+        nb = dataclasses.replace(b, active=active,
+                                 target=target.astype(b.target.dtype),
+                                 normal=normal.astype(b.normal.dtype))
+        if hasattr(b, "_host"):
+            object.__setattr__(nb, "_host", b._host)
+        batches = list(self.system.batches)
+        batches[i] = nb
+        self.system = dataclasses.replace(self.system,
+                                          batches=tuple(batches))
 
     # Positions/velocities live on device between steps; host views are
     # fetched lazily (the accelerator transport can be slow per transfer,

@@ -109,3 +109,31 @@ def test_zxu_mesh_obstacle():
     assert solver.x[:, 1].min() > -0.8
     assert solver.x[:, 1].min() < 0.2
     assert np.all(np.isfinite(solver.x))
+
+
+def test_hash_grid_matches_dense():
+    """HashGridTetCollider must reproduce DynamicTetCollider.detect exactly
+    (same hits, same payload) on a deformed multi-block mesh."""
+    from aa_admm_tpu.ops.collider import HashGridTetCollider
+
+    mesh = make_tet_blocks(4, 2, 3)
+    rng = np.random.default_rng(3)
+    dc = DynamicTetCollider.create(mesh.verts, mesh.tets)
+    hc = HashGridTetCollider.create(mesh.verts, mesh.tets, cap=48)
+    x_all = jnp.asarray(mesh.verts
+                        + 0.15 * rng.normal(size=mesh.verts.shape))
+    q = jnp.asarray(np.concatenate([
+        mesh.verts * 0.9 + 0.05,                          # mostly inside
+        rng.uniform(-1, 5, size=(64, 3)),                 # scattered
+    ]))
+    ids = jnp.asarray(np.concatenate([
+        np.arange(len(mesh.verts)), np.full(64, -1)]).astype(np.int32))
+    d = dc.detect(q, x_all, query_ids=ids)
+    h = hc.detect(q, x_all, query_ids=ids)
+    assert np.array_equal(np.asarray(d.hit), np.asarray(h.hit))
+    assert np.array_equal(np.asarray(d.face)[np.asarray(d.hit)],
+                          np.asarray(h.face)[np.asarray(d.hit)])
+    np.testing.assert_allclose(np.asarray(d.point), np.asarray(h.point),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(d.normal), np.asarray(h.normal),
+                               atol=1e-12)
