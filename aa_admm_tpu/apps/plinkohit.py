@@ -17,8 +17,13 @@ from ._data import find_data
 
 def build_scene(settings: Settings, mesh_path: str | None = None):
     mesh = load_elenode(mesh_path or find_data("horse759"))
-    # xform: scale 13, translate (0.25, 2.5, 0) (plinkohit.cpp:47-50)
-    mesh.verts = mesh.verts * 13.0 + np.array([0.25, 2.5, 0.0])
+    # xform: scale 13, translate (0.25, 2.5, 0) (plinkohit.cpp:47-50).
+    # The reference stores mesh vertices as float32 (mcl::TetMesh Vec3f) and
+    # applies an XForm<float>; replicate that rounding so initial state
+    # matches the C++ build bit-for-bit when cast back to f64.
+    v32 = mesh.verts.astype(np.float32)
+    mesh.verts = (np.float32(13.0) * v32
+                  + np.array([0.25, 2.5, 0.0], np.float32)).astype(np.float64)
 
     solver = PhysicsSolver(order=UpdateOrder.ZXU)
     solver.add_tetmesh(mesh.verts, mesh.tets, Lame.rubber(), kind="linear")

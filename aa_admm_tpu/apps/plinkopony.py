@@ -17,7 +17,11 @@ from ._data import find_data
 
 def build_scene(settings: Settings, mesh_path: str | None = None):
     mesh = load_elenode(mesh_path or find_data("horse759"))
-    mesh.verts = mesh.verts * 13.0 + np.array([0.25, 5.0, 0.0])
+    # f32 transform to match the reference's XForm<float> rounding
+    # (plinkopony.cpp:39-42); see plinkohit.build_scene.
+    v32 = mesh.verts.astype(np.float32)
+    mesh.verts = (np.float32(13.0) * v32
+                  + np.array([0.25, 5.0, 0.0], np.float32)).astype(np.float64)
 
     solver = PhysicsSolver(order=UpdateOrder.ZXU)
     solver.add_tetmesh(mesh.verts, mesh.tets, Lame.rubber(), kind="linear")
