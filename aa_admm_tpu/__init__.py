@@ -24,6 +24,18 @@ import jax as _jax
 # explicit dtype so TPU runs can choose f32/bf16 via config.
 _jax.config.update("jax_enable_x64", True)
 
+# TPU matmuls default to bf16 inputs (8-bit mantissa). For a simulation
+# framework that is catastrophic: the global-step solve (Ainv @ rhs) and the
+# coarse-phase closest-point distances (p @ cent.T with coordinates ~1e2-1e3)
+# pick up absolute errors large enough to break convergence and candidate
+# selection (measured: WireMeshOpt init energy 2.0e6 instead of 449 on a
+# v5e). 'highest' keeps f32 matmuls true-f32 on the MXU (multi-pass); the
+# element-local hot path is unrolled VPU arithmetic (ops/mat3.py) and is
+# unaffected. Override with AAADMM_MATMUL_PRECISION if a study wants bf16.
+import os as _os
+_jax.config.update("jax_default_matmul_precision",
+                   _os.environ.get("AAADMM_MATMUL_PRECISION", "highest"))
+
 __version__ = "0.1.0"
 
 from .core.config import Settings, Parameters, AccelType  # noqa: E402,F401

@@ -148,6 +148,12 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
     cent = jnp.mean(tri_verts, axis=1)                      # (T, 3)
     rad = jnp.sqrt(jnp.max(jnp.sum(
         (tri_verts - cent[:, None, :]) ** 2, axis=-1), axis=1))  # (T,)
+    # Center the coarse phase: the |p|^2 - 2 p.c + |c|^2 expansion loses
+    # ~eps * max|coord|^2 absolutely, so meshes with coordinates ~1e2-1e3
+    # (MaleTorso spans +-650) would corrupt the candidate ranking in f32.
+    # After centering the error is ~eps * extent^2, far below the rad slack.
+    c0 = jnp.mean(cent, axis=0)
+    cent = cent - c0
     c2 = jnp.sum(cent * cent, axis=-1)                      # (T,)
 
     qt = min(query_tile, max(P, 1))
@@ -156,8 +162,9 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
     pq = pq.reshape(-1, qt, 3)
 
     def per_chunk(pc):
-        d2c = (jnp.sum(pc * pc, axis=-1, keepdims=True)
-               - 2.0 * pc @ cent.T + c2[None, :])           # (q, T) MXU
+        pcc = pc - c0
+        d2c = (jnp.sum(pcc * pcc, axis=-1, keepdims=True)
+               - 2.0 * pcc @ cent.T + c2[None, :])          # (q, T) MXU
         dist_c = jnp.sqrt(jnp.maximum(d2c, 0.0))
         lower = jnp.maximum(dist_c - rad[None, :], 0.0)
         _, idx = jax.lax.top_k(-lower, k)                   # (q, k)

@@ -163,8 +163,8 @@ class SdfSceneBuilder:
     def add_cylinder(self, center, rad):
         self.cyls.append((np.asarray(center, self.dtype), float(rad))); return self
 
-    def build(self) -> SdfScene:
-        dt = self.dtype
+    def build(self, dtype=None) -> SdfScene:
+        dt = self.dtype if dtype is None else np.dtype(dtype)
 
         def arr3(items):
             return jnp.asarray(np.asarray([c for c, _ in items], dt).reshape(-1, 3))

@@ -144,9 +144,8 @@ def _reg_apply(system, v):
     return out.at[r.idx.reshape(-1)].add(contrib.reshape(-1, 3))
 
 
-@jax.jit
-def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
-    """ALMGeometrySolver::solve_ADMM (ALMGeometrySolver.h:163-283)."""
+def _alm_init_state(system: GeometrySystem, init_x):
+    """Fresh ADMM+AA loop state (per-dispatch histories sized max_iter)."""
     x0 = init_x
     u0 = tuple(jnp.zeros(b.block_shape, init_x.dtype) for b in system.hard)
     aa0 = anderson.init(max(system.anderson_m, 1),
@@ -154,16 +153,26 @@ def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
     max_iter = system.max_iter
     fv0 = jnp.full((max_iter,), jnp.nan, init_x.dtype)
     rj0 = jnp.zeros((max_iter,), jnp.int32)
+    return dict(x=x0, u=u0, dx=x0, du=u0,
+                prev=jnp.asarray(np.finfo(np.dtype(init_x.dtype)).max,
+                                 init_x.dtype),
+                reset=jnp.asarray(False), aa=aa0,
+                it=jnp.zeros((), jnp.int32), trial=jnp.zeros((), jnp.int32),
+                fv=fv0, rj=rj0, rejects=jnp.zeros((), jnp.int32),
+                limit=jnp.asarray(max_iter, jnp.int32))
+
+
+@jax.jit
+def solve_alm_chunk(system: GeometrySystem, state):
+    """Run the accept/reject loop until ``it == limit`` (or the trial bound)
+    and return the carried state. ``limit`` is dynamic so a chunked driver
+    can reuse one compiled program for every dispatch; ``it`` counts accepted
+    iterations within this dispatch and histories are per-dispatch arrays."""
+    max_iter = system.max_iter
     accel = system.accel
 
-    state = dict(x=x0, u=u0, dx=x0, du=u0,
-                 prev=jnp.asarray(np.finfo(np.float64).max, init_x.dtype),
-                 reset=jnp.asarray(False), aa=aa0,
-                 it=jnp.zeros((), jnp.int32), trial=jnp.zeros((), jnp.int32),
-                 fv=fv0, rj=rj0, rejects=jnp.zeros((), jnp.int32))
-
     def cond(st):
-        return (st["it"] < max_iter) & (st["trial"] < 2 * max_iter + 4)
+        return (st["it"] < st["limit"]) & (st["trial"] < 2 * max_iter + 4)
 
     def body(st):
         cx, cu = st["x"], st["u"]
@@ -199,7 +208,8 @@ def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
             return dict(x=nx, u=nu, dx=new_x, du=new_u,
                         prev=res, reset=jnp.asarray(False), aa=aa,
                         it=st["it"] + 1, trial=st["trial"] + 1,
-                        fv=fv, rj=rj, rejects=jnp.zeros((), jnp.int32))
+                        fv=fv, rj=rj, rejects=jnp.zeros((), jnp.int32),
+                        limit=st["limit"])
 
         def on_reject(st):
             aa = anderson.reset(
@@ -209,11 +219,16 @@ def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
                         prev=st["prev"], reset=jnp.asarray(True), aa=aa,
                         it=st["it"], trial=st["trial"] + 1,
                         fv=st["fv"], rj=st["rj"],
-                        rejects=st["rejects"] + 1)
+                        rejects=st["rejects"] + 1, limit=st["limit"])
 
         return jax.lax.cond(accept, on_accept, on_reject, st)
 
-    st = jax.lax.while_loop(cond, body, state)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
+    """ALMGeometrySolver::solve_ADMM (ALMGeometrySolver.h:163-283)."""
+    st = solve_alm_chunk(system, _alm_init_state(system, init_x))
     return GeometryTrace(x=st["dx"], function_values=st["fv"],
                          rejects=st["rj"], n_trials=st["trial"])
 
@@ -387,32 +402,79 @@ class ALMGeometrySolver:
 
     def solve_ADMM(self, init_x: np.ndarray, rel_residual_eps: float,
                    max_iter: int, anderson_m: int,
-                   cg_tol: float = None, cg_max_iters: int = None):
+                   cg_tol: float = None, cg_max_iters: int = None,
+                   chunk_iters: int = None):
+        """Run the compiled accept/reject loop.
+
+        chunk_iters (or env AAADMM_GEO_CHUNK) splits the run into several
+        shorter device dispatches with carried state: large meshes on a
+        tunneled TPU need this (a single multi-minute dispatch can exceed
+        the transport's execution window), and it yields per-chunk wall
+        times for the residual artifact. Semantics match the single-dispatch
+        path except that the runaway-trial bound (2*iters+4, matching the
+        reference's accept-counting loop) applies per chunk."""
         assert self.system is not None
         if cg_tol is None:
             # f32 can't reach 1e-12 relative; don't spin CG at max_iters.
             cg_tol = 1e-12 if self.dtype == np.float64 else 2e-6
+        if chunk_iters is None:
+            chunk_iters = int(os.environ.get("AAADMM_GEO_CHUNK", "0"))
+        chunk = int(chunk_iters) if chunk_iters else int(max_iter)
+        chunk = max(1, min(chunk, int(max_iter)))
         self.system = dataclasses.replace(
-            self.system, max_iter=int(max_iter),
+            self.system, max_iter=chunk,
             anderson_m=int(anderson_m), accel=anderson_m > 0,
             cg_tol=float(cg_tol),
             cg_max_iters=int(cg_max_iters or self.system.cg_max_iters))
         x0 = jnp.asarray(np.asarray(init_x, self.dtype))
         e0 = float(soft_energy(self.system, x0))
         print(f"Init energy = {e0}")
+
         t = MicroTimer()
-        trace = solve_alm(self.system, x0)
-        trace.x.block_until_ready()
-        total = t.elapsed_s()
+        state = _alm_init_state(self.system, x0)
+        fvs, rjs, times = [], [], []
+        done, trials = 0, 0
+        while done < int(max_iter):
+            lim = min(chunk, int(max_iter) - done)
+            state["limit"] = jnp.asarray(lim, jnp.int32)
+            state["it"] = jnp.zeros((), jnp.int32)
+            state["trial"] = jnp.zeros((), jnp.int32)
+            state["fv"] = jnp.full((chunk,), jnp.nan, x0.dtype)
+            state["rj"] = jnp.zeros((chunk,), jnp.int32)
+            state = solve_alm_chunk(self.system, state)
+            n_acc = int(state["it"])
+            trials += int(state["trial"])
+            fvs.append(np.asarray(state["fv"])[:n_acc])
+            rjs.append(np.asarray(state["rj"])[:n_acc])
+            times.append(t.elapsed_s())
+            done += lim
+            if n_acc < lim:   # trial bound hit — no progress possible
+                break
+        total = times[-1]
+        trace = GeometryTrace(x=state["dx"],
+                              function_values=jnp.asarray(np.concatenate(fvs)),
+                              rejects=jnp.asarray(np.concatenate(rjs)),
+                              n_trials=jnp.asarray(trials, jnp.int32))
         self._solution = np.asarray(trace.x)
         fv = np.asarray(trace.function_values)
         valid = ~np.isnan(fv)
         n = int(valid.sum())
         self.function_values = [float(v) for v in fv[valid]]
-        self.elapsed_time = [total * (i + 1) / max(n, 1) for i in range(n)]
+        # Interpolate iteration timestamps within each chunk window.
+        self.elapsed_time = []
+        t_prev, i_seen = 0.0, 0
+        for chunk_fv, t_end in zip(fvs, times):
+            k = len(chunk_fv)
+            for j in range(k):
+                self.elapsed_time.append(
+                    t_prev + (t_end - t_prev) * (j + 1) / max(k, 1))
+            t_prev = t_end
+            i_seen += k
+        self.elapsed_time = self.elapsed_time[:n]
         self.anderson_reset = [int(r) for r in np.asarray(trace.rejects)[valid]]
         ef = float(soft_energy(self.system, trace.x))
         print(f"final energy = {ef}")
+        print(f"solve time = {total:.3f}s for {n} accepted iterations")
         return trace
 
     def get_solution(self) -> np.ndarray:

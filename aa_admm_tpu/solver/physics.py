@@ -784,7 +784,7 @@ class PhysicsSolver:
                     "collision energy terms exist only in the zxu variant "
                     "(reference forbids obstacles with the LDLT xzu solver, "
                     "Solver.cpp:486-489)")
-            scene = self.sdf_builder.build()
+            scene = self.sdf_builder.build(dtype)
             batches.append(CollisionBatch.create(
                 sorted(self.collisions), scene,
                 mesh_sdfs=self.mesh_obstacles, dtype=dtype))

@@ -139,3 +139,34 @@ def test_residual_file_format(tmp_path):
     assert len(rows[0]) == 2 + (1 if solver.order == UpdateOrder.ZXU else 0) + 1
     times = [float(r[0]) for r in rows]
     assert all(t1 >= t0 for t0, t1 in zip(times, times[1:]))
+
+
+def test_f32_no_dtype_leak_with_all_obstacle_types():
+    """Under jax_enable_x64, every array in the compiled step must follow the
+    requested f32 dtype — a single f64 leaf (e.g. obstacle parameters,
+    regression: SdfSceneBuilder.build ignored the solver dtype) upcasts the
+    scan carry and breaks the TPU path."""
+    import jax.tree_util as jtu
+
+    mesh = make_tet_blocks(2, 2, 2)
+    s = Settings()
+    s.admm_iters = 5
+    s.verbose = 0
+    s.dtype = np.dtype("float32")
+    solver = PhysicsSolver(order=UpdateOrder.ZXU)
+    solver.add_tetmesh(mesh.verts, mesh.tets, Lame.rubber())
+    solver.add_obstacle("floor", y=-2.0)
+    solver.add_obstacle("slide_floor", center=[0.0, -3.0, 0.0],
+                        normal=[0.5, np.sqrt(3.0) / 2.0, 0.0])
+    solver.add_obstacle("sphere", center=[0.0, -2.0, 0.0], rad=0.5)
+    solver.add_obstacle("plane_half_sphere", center=[0.0, -3.0, 0.0], rad=1.0)
+    solver.add_obstacle("cylinder", center=[0.0, -2.5, 0.0], rad=0.4)
+    solver.set_collisions(list(range(len(mesh.verts))))
+    solver.initialize(s)
+
+    bad = [l.dtype for l in jtu.tree_leaves(solver.system)
+           if hasattr(l, "dtype") and l.dtype == np.float64]
+    assert not bad, f"f64 leaves in f32 system: {len(bad)}"
+    solver.step()
+    assert solver.x.dtype == np.float32
+    assert np.all(np.isfinite(solver.x))
