@@ -36,6 +36,17 @@ import os as _os
 _jax.config.update("jax_default_matmul_precision",
                    _os.environ.get("AAADMM_MATMUL_PRECISION", "highest"))
 
+# Persistent compilation cache: the big geometry programs take minutes to
+# (remote-)compile on a tunneled TPU; caching makes every repeat run skip
+# that. Disable with AAADMM_COMP_CACHE=0.
+if _os.environ.get("AAADMM_COMP_CACHE", "1") != "0":
+    _cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/aa_admm_tpu/jax_cache"))
+    _os.makedirs(_cache_dir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 __version__ = "0.1.0"
 
 from .core.config import Settings, Parameters, AccelType  # noqa: E402,F401

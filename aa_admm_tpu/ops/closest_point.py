@@ -93,6 +93,7 @@ def closest_point_on_mesh(p, tri_verts, tile: int = 1024,
     Doubly tiled: an outer ``lax.map`` over query chunks and an inner scan
     over triangle chunks bound peak memory at O(query_tile * tile) while the
     full P x T sweep stays dense VPU arithmetic."""
+    tri_verts = tri_verts.astype(p.dtype)
     T = tri_verts.shape[0]
     P = p.shape[0]
     pad_t = (-T) % tile
@@ -143,6 +144,7 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
     and turns an O(Q*T) VPU sweep into an O(Q*T/3) MXU matmul + O(Q*k) VPU
     work — the difference between ~minutes and ~100ms per projection at the
     WireMeshOpt scale (230k queries x 40k triangles)."""
+    tri_verts = tri_verts.astype(p.dtype)
     T = tri_verts.shape[0]
     P = p.shape[0]
     cent = jnp.mean(tri_verts, axis=1)                      # (T, 3)
@@ -167,7 +169,13 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
                - 2.0 * pcc @ cent.T + c2[None, :])          # (q, T) MXU
         dist_c = jnp.sqrt(jnp.maximum(d2c, 0.0))
         lower = jnp.maximum(dist_c - rad[None, :], 0.0)
-        _, idx = jax.lax.top_k(-lower, k)                   # (q, k)
+        # approx_min_k is the TPU-native ANN primitive (PartialReduce,
+        # arXiv:2206.14286) — a full sort-based top_k over T~40k columns
+        # costs seconds per call at this scale. Recall loss affects
+        # borderline ranks near k, not the smallest bounds, and stage 2
+        # takes the exact argmin over the k candidates; accuracy vs brute
+        # force is pinned by tests on the real benchmark meshes.
+        _, idx = jax.lax.approx_min_k(lower, k, recall_target=0.95)  # (q, k)
         cand = tri_verts[idx]                               # (q, k, 3, 3)
         q, sqd = _closest_point_candidates(pc, cand)
         return q

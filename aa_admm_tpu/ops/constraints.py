@@ -94,6 +94,14 @@ class PlaneBatch:
         mean = jnp.sum(p, axis=1) / self.count[:, None]
         return (p - mean[:, None, :]) * self.mask[..., None]
 
+    def transform_host(self, x):
+        """f64 numpy transform (delta-form precomputation of D x0)."""
+        idx, mask = hostarr(self, 'idx'), hostarr(self, 'mask')
+        cnt = hostarr(self, 'count').astype(np.float64)
+        p = np.asarray(x, np.float64)[idx] * mask[..., None]
+        mean = p.sum(1) / cnt[:, None]
+        return (p - mean[:, None, :]) * mask[..., None]
+
     def scatter(self, t, n_verts):
         # Adjoint of masked mean-centering: t_centered scattered to idx.
         tm = t * self.mask[..., None]
@@ -147,6 +155,12 @@ class AngleBatch:
         tip = x[self.idx[:, 0]]
         return jnp.stack([x[self.idx[:, 1]] - tip, x[self.idx[:, 2]] - tip],
                          axis=1)
+
+    def transform_host(self, x):
+        idx = hostarr(self, 'idx')
+        x = np.asarray(x, np.float64)
+        tip = x[idx[:, 0]]
+        return np.stack([x[idx[:, 1]] - tip, x[idx[:, 2]] - tip], axis=1)
 
     def scatter(self, t, n_verts):
         contrib = jnp.concatenate(
@@ -224,6 +238,11 @@ class EdgeLengthBatch:
     def transform(self, x):
         return (x[self.idx[:, 1]] - x[self.idx[:, 0]])[:, None, :]
 
+    def transform_host(self, x):
+        idx = hostarr(self, 'idx')
+        x = np.asarray(x, np.float64)
+        return (x[idx[:, 1]] - x[idx[:, 0]])[:, None, :]
+
     def scatter(self, t, n_verts):
         contrib = jnp.concatenate([-t, t], axis=1)  # (C, 2, 3)
         return jax.ops.segment_sum(contrib.reshape(-1, 3),
@@ -263,6 +282,9 @@ class ClosenessBatch:
     def transform(self, x):
         return x[self.idx][:, None, :]
 
+    def transform_host(self, x):
+        return np.asarray(x, np.float64)[hostarr(self, 'idx')][:, None, :]
+
     def scatter(self, t, n_verts):
         return jax.ops.segment_sum(t[:, 0], self.idx, num_segments=n_verts)
 
@@ -301,6 +323,9 @@ class RefSurfaceBatch:
     def transform(self, x):
         return x[self.idx][:, None, :]
 
+    def transform_host(self, x):
+        return np.asarray(x, np.float64)[hostarr(self, 'idx')][:, None, :]
+
     def scatter(self, t, n_verts):
         return jax.ops.segment_sum(t[:, 0], self.idx, num_segments=n_verts)
 
@@ -315,6 +340,72 @@ class RefSurfaceBatch:
 def wexpand(batch, a):
     w = batch.w
     return w.reshape(w.shape + (1,) * (a.ndim - w.ndim)) * a
+
+
+def assemble_geometry_node_matrix_sparse(n_verts: int, hard, soft, rho: float,
+                                         reg_rows=None):
+    """Sparse (scipy CSR) assembly of the same per-coordinate global matrix
+    as ``assemble_geometry_node_matrix``. For large meshes the matrix has a
+    bounded mesh-stencil row width (~10-30 nonzeros), so the PCG matvec can
+    run as one padded gather+FMA instead of re-deriving D^T D through the
+    constraint transforms every CG iteration (ELL path, solver/geometry.py)."""
+    import scipy.sparse as sp
+
+    rows, cols, vals = [], [], []
+
+    def emit(idx, K):
+        # idx (C, k) global indices; K (C, k, k) local stiffness.
+        C, k = idx.shape
+        rows.append(np.repeat(idx[:, :, None], k, axis=2).ravel())
+        cols.append(np.repeat(idx[:, None, :], k, axis=1).ravel())
+        vals.append(K.ravel())
+
+    def add_batch(b, scale_w, scale):
+        if isinstance(b, PlaneBatch):
+            idx = hostarr(b, 'idx')
+            mask = hostarr(b, 'mask').astype(np.float64)
+            cnt = hostarr(b, 'count')
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(idx))
+            k = idx.shape[1]
+            eye = np.eye(k)[None]
+            T = (eye - mask[:, :, None] * mask[:, None, :] / cnt[:, None, None])
+            T = T * mask[:, :, None] * mask[:, None, :]
+            K = np.einsum("c,cik,cjk->cij", w2 * scale, T, T)
+            emit(idx, K)
+        elif isinstance(b, AngleBatch):
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
+            idx = hostarr(b, 'idx')
+            G = np.array([[-1.0, -1.0], [1.0, 0.0], [0.0, 1.0]])
+            K = np.einsum("c,ir,jr->cij", w2 * scale, G, G)
+            emit(idx, K)
+        elif isinstance(b, EdgeLengthBatch):
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
+            idx = hostarr(b, 'idx')
+            G = np.array([[-1.0], [1.0]])
+            K = np.einsum("c,ir,jr->cij", w2 * scale, G, G)
+            emit(idx, K)
+        else:
+            w2 = (hostarr(b, 'w') ** 2) if scale_w else np.ones(len(b.idx))
+            idx = hostarr(b, 'idx')
+            rows.append(idx)
+            cols.append(idx)
+            vals.append(np.asarray(w2 * scale, np.float64))
+
+    for b in hard:
+        add_batch(b, scale_w=False, scale=rho)
+    for b in soft:
+        add_batch(b, scale_w=True, scale=1.0)
+    if reg_rows is not None:
+        idx, coef, mask = reg_rows
+        cm = coef * mask
+        K = np.einsum("ri,rj->rij", cm, cm)
+        emit(idx, K)
+    A = sp.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(n_verts, n_verts)).tocsr()
+    A.sum_duplicates()
+    return A
 
 
 def assemble_geometry_node_matrix(n_verts: int, hard, soft, rho: float,

@@ -53,6 +53,39 @@ class RegRows:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class EllMatrix:
+    """Padded-row (ELL) sparse matrix for the constant global operator.
+
+    The system matrix ``rho D_h^T D_h + D_s^T W^2 D_s + L^T L`` has a bounded
+    mesh-stencil row width, so ``A v`` is one gather + FMA over (n, K) —
+    ~50-100x cheaper per CG iteration than re-deriving D^T D through the
+    constraint transform/scatter pipeline (the reference's analogue is its
+    one-time sparse-Cholesky prefactorization, ALMGeometrySolver.h:143-153)."""
+
+    idx: jnp.ndarray   # (n, K) int32 column indices (self-padded)
+    coef: jnp.ndarray  # (n, K) values (0 in padding)
+
+    @classmethod
+    def from_csr(cls, A, dtype):
+        n = A.shape[0]
+        nnz = np.diff(A.indptr)
+        K = max(int(nnz.max()), 1)
+        idx = np.tile(np.arange(n, dtype=np.int64)[:, None], (1, K))
+        coef = np.zeros((n, K))
+        r = np.repeat(np.arange(n), nnz)
+        pos = np.arange(A.nnz) - np.repeat(A.indptr[:-1], nnz)
+        idx[r, pos] = A.indices
+        coef[r, pos] = A.data
+        return cls(idx=jnp.asarray(idx.astype(np.int32)),
+                   coef=jnp.asarray(coef.astype(dtype)))
+
+    def apply(self, v):
+        """v (n, c) -> A v (n, c)."""
+        return jnp.einsum("nk,nkc->nc", self.coef, v[self.idx])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class GeometrySystem:
     hard: tuple                      # hard constraint batches
     soft: tuple                      # soft constraint batches
@@ -60,20 +93,46 @@ class GeometrySystem:
     precond_diag: Optional[jnp.ndarray]
     rhs_fixed: jnp.ndarray           # (n, 3) = L^T * reg_rhs
     mg: Optional["TwoLevelPrecond"] = None  # two-level precond (PCG path)
+    ell: Optional[EllMatrix] = None         # constant-operator matvec (PCG)
     reg: Optional[RegRows] = None
+    # Delta-form anchors (set per solve): the loop state is delta = x - x0,
+    # so every carried quantity is O(local scale) and f32 keeps ~1e-7
+    # absolute precision even on meshes with coordinates ~1e3 (without this,
+    # the combined residual floors at ~|x|^2 eps^2 and AA stalls).
+    x0: Optional[jnp.ndarray] = None        # (n, 3)
+    t0_hard: tuple = ()                     # D_h x0 per hard batch (f64->dt)
+    t0_soft: tuple = ()                     # D_s x0 per soft batch
+    Ax0: Optional[jnp.ndarray] = None       # A x0 (f64 host -> dt)
     n_verts: int = _static(default=0)
     rho: float = _static(default=1.0)
     max_iter: int = _static(default=100)
     anderson_m: int = _static(default=5)
     accel: bool = _static(default=True)
-    cg_tol: float = _static(default=1e-12)
-    cg_max_iters: int = _static(default=400)
+    # Dynamic (traced) so tolerance experiments reuse one compiled program —
+    # the big-mesh geometry solve takes minutes to compile on a tunneled TPU.
+    cg_tol: float = 1e-12
+    cg_max_iters: int = 400
 
     def transform_hard(self, x):
         return tuple(b.transform(x) for b in self.hard)
 
     def transform_soft(self, x):
         return tuple(b.transform(x) for b in self.soft)
+
+    def dx_hard(self, delta):
+        """D_h (x0 + delta) = t0 + D_h delta — exact in the local scale.
+        Without anchors (x0 None) the state carries absolute x and this is
+        the plain transform."""
+        if not self.t0_hard:
+            return self.transform_hard(delta)
+        return tuple(t0 + b.transform(delta)
+                     for b, t0 in zip(self.hard, self.t0_hard))
+
+    def dx_soft(self, delta):
+        if not self.t0_soft:
+            return self.transform_soft(delta)
+        return tuple(t0 + b.transform(delta)
+                     for b, t0 in zip(self.soft, self.t0_soft))
 
 
 class GeometryTrace(NamedTuple):
@@ -100,10 +159,13 @@ def _sqnorm_all(ts):
     return sum(jnp.sum(t * t) for t in ts)
 
 
-def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None):
-    """x-update (ALMGeometrySolver::ADMM_x_update, :442-450):
-    A x = rhs_fixed + rho D_h^T (z_h - u) + D_s^T W_s z_s."""
+def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None,
+             with_iters=False):
+    """x-update (ALMGeometrySolver::ADMM_x_update, :442-450) in delta form:
+    A delta = rhs_fixed + rho D_h^T (z_h - u) + D_s^T W_s z_s - A x0."""
     rhs = system.rhs_fixed
+    if system.Ax0 is not None:
+        rhs = rhs - system.Ax0
     s = jnp.zeros_like(rhs)
     for b, zh, uh in zip(system.hard, z_hard, u):
         s = s + b.scatter(zh - uh, system.n_verts)
@@ -112,23 +174,29 @@ def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None):
         w2 = b.w.reshape(b.w.shape + (1,) * (zs.ndim - 1)) ** 2
         rhs = rhs + b.scatter(w2 * zs, system.n_verts)
     if system.solver is not None:
-        return system.solver.solve(rhs)
+        x = system.solver.solve(rhs)
+        return (x, jnp.zeros((), jnp.int32)) if with_iters else x
 
-    def operator(v):
-        out = jnp.zeros_like(v)
-        sh = jnp.zeros_like(v)
-        for b in system.hard:
-            sh = sh + b.scatter(b.transform(v), system.n_verts)
-        out = out + system.rho * sh
-        for b in system.soft:
-            t = b.transform(v)
-            w2 = b.w.reshape(b.w.shape + (1,) * (t.ndim - 1)) ** 2
-            out = out + b.scatter(w2 * t, system.n_verts)
-        return out + _reg_apply(system, v)
+    if system.ell is not None:
+        operator = system.ell.apply
+    else:
+        def operator(v):
+            out = jnp.zeros_like(v)
+            sh = jnp.zeros_like(v)
+            for b in system.hard:
+                sh = sh + b.scatter(b.transform(v), system.n_verts)
+            out = out + system.rho * sh
+            for b in system.soft:
+                t = b.transform(v)
+                w2 = b.w.reshape(b.w.shape + (1,) * (t.ndim - 1)) ** 2
+                out = out + b.scatter(w2 * t, system.n_verts)
+            return out + _reg_apply(system, v)
 
-    x, _ = pcg(operator, rhs, system.precond_diag, tol=system.cg_tol,
-               max_iters=system.cg_max_iters, x0=x_warm,
-               precond=system.mg.apply if system.mg is not None else None)
+    x, it = pcg(operator, rhs, system.precond_diag, tol=system.cg_tol,
+                max_iters=system.cg_max_iters, x0=x_warm,
+                precond=system.mg.apply if system.mg is not None else None)
+    if with_iters:
+        return x, it
     return x
 
 
@@ -145,8 +213,10 @@ def _reg_apply(system, v):
 
 
 def _alm_init_state(system: GeometrySystem, init_x):
-    """Fresh ADMM+AA loop state (per-dispatch histories sized max_iter)."""
-    x0 = init_x
+    """Fresh ADMM+AA loop state (per-dispatch histories sized max_iter).
+    In delta mode (system.x0 set) the carried 'x' is delta = x - x0 and
+    starts at zero; init_x must then equal system.x0."""
+    x0 = jnp.zeros_like(init_x) if system.x0 is not None else init_x
     u0 = tuple(jnp.zeros(b.block_shape, init_x.dtype) for b in system.hard)
     aa0 = anderson.init(max(system.anderson_m, 1),
                         jnp.concatenate([_flatten(u0), x0.ravel()]))
@@ -159,7 +229,8 @@ def _alm_init_state(system: GeometrySystem, init_x):
                 reset=jnp.asarray(False), aa=aa0,
                 it=jnp.zeros((), jnp.int32), trial=jnp.zeros((), jnp.int32),
                 fv=fv0, rj=rj0, rejects=jnp.zeros((), jnp.int32),
-                limit=jnp.asarray(max_iter, jnp.int32))
+                limit=jnp.asarray(max_iter, jnp.int32),
+                cgit=jnp.zeros((), jnp.int32))
 
 
 @jax.jit
@@ -175,9 +246,10 @@ def solve_alm_chunk(system: GeometrySystem, state):
         return (st["it"] < st["limit"]) & (st["trial"] < 2 * max_iter + 4)
 
     def body(st):
+        # st["x"] carries delta = x - x0 (see GeometrySystem delta anchors).
         cx, cu = st["x"], st["u"]
-        dx_h = system.transform_hard(cx)       # D_h x
-        dx_s = system.transform_soft(cx)
+        dx_h = system.dx_hard(cx)              # D_h (x0 + delta)
+        dx_s = system.dx_soft(cx)
         prev_dx_h = dx_h
 
         # z-update (:425-440): hard projects (D_h x + u); soft projects D_s x.
@@ -185,8 +257,9 @@ def solve_alm_chunk(system: GeometrySystem, state):
                     for b, d, ui in zip(system.hard, dx_h, cu))
         z_s = tuple(b.project(d) for b, d in zip(system.soft, dx_s))
 
-        new_x = _solve_x(system, z_h, cu, z_s, x_warm=cx)
-        dx_h2 = system.transform_hard(new_x)
+        new_x, n_cg = _solve_x(system, z_h, cu, z_s, x_warm=cx,
+                               with_iters=True)
+        dx_h2 = system.dx_hard(new_x)
         new_u = tuple(ui + d - zh for ui, d, zh in zip(cu, dx_h2, z_h))
 
         res = (_sqnorm_all(tuple(d - zh for d, zh in zip(dx_h2, z_h)))
@@ -209,7 +282,7 @@ def solve_alm_chunk(system: GeometrySystem, state):
                         prev=res, reset=jnp.asarray(False), aa=aa,
                         it=st["it"] + 1, trial=st["trial"] + 1,
                         fv=fv, rj=rj, rejects=jnp.zeros((), jnp.int32),
-                        limit=st["limit"])
+                        limit=st["limit"], cgit=st["cgit"] + n_cg)
 
         def on_reject(st):
             aa = anderson.reset(
@@ -219,7 +292,8 @@ def solve_alm_chunk(system: GeometrySystem, state):
                         prev=st["prev"], reset=jnp.asarray(True), aa=aa,
                         it=st["it"], trial=st["trial"] + 1,
                         fv=st["fv"], rj=st["rj"],
-                        rejects=st["rejects"] + 1, limit=st["limit"])
+                        rejects=st["rejects"] + 1, limit=st["limit"],
+                        cgit=st["cgit"] + n_cg)
 
         return jax.lax.cond(accept, on_accept, on_reject, st)
 
@@ -231,6 +305,18 @@ def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
     st = solve_alm_chunk(system, _alm_init_state(system, init_x))
     return GeometryTrace(x=st["dx"], function_values=st["fv"],
                          rejects=st["rj"], n_trials=st["trial"])
+
+
+@jax.jit
+def soft_energy_delta(system: GeometrySystem, delta):
+    """soft_energy evaluated through the delta-form anchors (accurate at f32
+    on large-coordinate meshes; used for the Init/final energy prints)."""
+    total = jnp.asarray(0.0, delta.dtype)
+    for b, d in zip(system.soft, system.dx_soft(delta)):
+        p = b.project(d)
+        w2 = b.w.reshape(b.w.shape + (1,) * (d.ndim - 1)) ** 2
+        total = total + 0.5 * jnp.sum(w2 * (d - p) ** 2)
+    return total
 
 
 @jax.jit
@@ -373,12 +459,18 @@ class ALMGeometrySolver:
             A = assemble_geometry_node_matrix(
                 n_points, self.hard, self.soft, penalty_param, reg_rows=reg)
             solver = DenseInverseSolver(Ainv=dense_inverse(A, dtype=self.dtype))
+            self._A_host = A          # f64, for the delta-form A x0 anchor
             precond = None
             mg = None
+            ell = None
         else:
             solver = None
-            diag = _geometry_node_diag(
-                n_points, self.hard, self.soft, penalty_param, reg)
+            from ..ops.constraints import assemble_geometry_node_matrix_sparse
+            A_csr = assemble_geometry_node_matrix_sparse(
+                n_points, self.hard, self.soft, penalty_param, reg_rows=reg)
+            self._A_host = A_csr
+            ell = EllMatrix.from_csr(A_csr, self.dtype)
+            diag = np.asarray(A_csr.diagonal())
             precond = jnp.asarray(diag.astype(self.dtype))
             from .multigrid import build_two_level
             mg = build_two_level(n_points, self.hard, self.soft,
@@ -393,7 +485,7 @@ class ALMGeometrySolver:
                                  target=jnp.asarray(target))
         self.system = GeometrySystem(
             hard=tuple(self.hard), soft=tuple(self.soft),
-            solver=solver, precond_diag=precond, mg=mg,
+            solver=solver, precond_diag=precond, mg=mg, ell=ell,
             rhs_fixed=jnp.asarray(rhs_fixed.astype(self.dtype)),
             reg=reg_struct,
             n_verts=n_points, rho=float(penalty_param))
@@ -415,19 +507,31 @@ class ALMGeometrySolver:
         reference's accept-counting loop) applies per chunk."""
         assert self.system is not None
         if cg_tol is None:
+            cg_tol = os.environ.get("AAADMM_GEO_CG_TOL")
+        if cg_tol is None:
             # f32 can't reach 1e-12 relative; don't spin CG at max_iters.
             cg_tol = 1e-12 if self.dtype == np.float64 else 2e-6
         if chunk_iters is None:
             chunk_iters = int(os.environ.get("AAADMM_GEO_CHUNK", "0"))
         chunk = int(chunk_iters) if chunk_iters else int(max_iter)
         chunk = max(1, min(chunk, int(max_iter)))
+        # Delta-form anchors: D x0 and A x0 in f64 on host once per solve.
+        x0_np = np.asarray(init_x, np.float64)
+        t0_h = tuple(jnp.asarray(b.transform_host(x0_np).astype(self.dtype))
+                     for b in self.hard)
+        t0_s = tuple(jnp.asarray(b.transform_host(x0_np).astype(self.dtype))
+                     for b in self.soft)
+        Ax0 = np.asarray(self._A_host @ x0_np)
         self.system = dataclasses.replace(
             self.system, max_iter=chunk,
             anderson_m=int(anderson_m), accel=anderson_m > 0,
             cg_tol=float(cg_tol),
-            cg_max_iters=int(cg_max_iters or self.system.cg_max_iters))
+            cg_max_iters=int(cg_max_iters or self.system.cg_max_iters),
+            x0=jnp.asarray(x0_np.astype(self.dtype)),
+            t0_hard=t0_h, t0_soft=t0_s,
+            Ax0=jnp.asarray(Ax0.astype(self.dtype)))
         x0 = jnp.asarray(np.asarray(init_x, self.dtype))
-        e0 = float(soft_energy(self.system, x0))
+        e0 = float(soft_energy_delta(self.system, jnp.zeros_like(x0)))
         print(f"Init energy = {e0}")
 
         t = MicroTimer()
@@ -441,21 +545,33 @@ class ALMGeometrySolver:
             state["trial"] = jnp.zeros((), jnp.int32)
             state["fv"] = jnp.full((chunk,), jnp.nan, x0.dtype)
             state["rj"] = jnp.zeros((chunk,), jnp.int32)
+            state["cgit"] = jnp.zeros((), jnp.int32)
             state = solve_alm_chunk(self.system, state)
-            n_acc = int(state["it"])
-            trials += int(state["trial"])
-            fvs.append(np.asarray(state["fv"])[:n_acc])
-            rjs.append(np.asarray(state["rj"])[:n_acc])
+            # One transfer for everything the host needs — on a tunneled TPU
+            # each separate fetch pays a full round trip.
+            h_it, h_trial, h_fv, h_rj, h_cg = jax.device_get(
+                (state["it"], state["trial"], state["fv"], state["rj"],
+                 state["cgit"]))
+            n_acc = int(h_it)
+            trials += int(h_trial)
+            fvs.append(np.asarray(h_fv)[:n_acc])
+            rjs.append(np.asarray(h_rj)[:n_acc])
             times.append(t.elapsed_s())
             done += lim
+            if chunk < int(max_iter) and os.environ.get("AAADMM_GEO_VERBOSE"):
+                print(f"  chunk done: iters {done}/{max_iter}, "
+                      f"cg iters this chunk = {int(h_cg)}, "
+                      f"t = {times[-1]:.1f}s", flush=True)
             if n_acc < lim:   # trial bound hit — no progress possible
                 break
         total = times[-1]
-        trace = GeometryTrace(x=state["dx"],
+        delta = state["dx"]
+        trace = GeometryTrace(x=delta,
                               function_values=jnp.asarray(np.concatenate(fvs)),
                               rejects=jnp.asarray(np.concatenate(rjs)),
                               n_trials=jnp.asarray(trials, jnp.int32))
-        self._solution = np.asarray(trace.x)
+        # Absolute solution reconstructed in f64 on host: x0 was kept exact.
+        self._solution = x0_np + np.asarray(delta, np.float64)
         fv = np.asarray(trace.function_values)
         valid = ~np.isnan(fv)
         n = int(valid.sum())
@@ -472,7 +588,7 @@ class ALMGeometrySolver:
             i_seen += k
         self.elapsed_time = self.elapsed_time[:n]
         self.anderson_reset = [int(r) for r in np.asarray(trace.rejects)[valid]]
-        ef = float(soft_energy(self.system, trace.x))
+        ef = float(soft_energy_delta(self.system, delta))
         print(f"final energy = {ef}")
         print(f"solve time = {total:.3f}s for {n} accepted iterations")
         return trace

@@ -128,16 +128,16 @@ def greedy_aggregate(n_verts: int, edges: np.ndarray,
     agg = np.arange(n_verts, dtype=np.int64)
     cur_n, cur_edges = n_verts, edges
     for _ in range(max_rounds):
-        if cur_n <= target_coarse:
+        # Each round coarsens ~4-6x; stop once within reach of the target
+        # rather than overshooting far below it (a too-small coarse space
+        # costs many extra PCG iterations per ADMM step).
+        if cur_n <= target_coarse * 1.5:
             break
         a = _aggregate_once(cur_n, cur_edges)
         nc = int(a.max()) + 1 if len(a) else 0
         if nc >= cur_n:  # stalled
             break
         agg = a[agg]
-        if nc <= target_coarse:
-            cur_n = nc
-            break
         ce = a[cur_edges]
         ce = np.sort(ce, axis=1)
         ce = ce[ce[:, 0] != ce[:, 1]]
@@ -164,9 +164,15 @@ class TwoLevelPrecond:
 
 
 def build_two_level(n_verts, hard, soft, rho, reg_rows, diag,
-                    dtype=np.float64, target_coarse: int = 4000):
+                    dtype=np.float64, target_coarse: int = None):
     """Assemble the preconditioner on host (setup time, like the reference's
-    predecomposition).  `diag` is the fine-grid diagonal of A."""
+    predecomposition).  `diag` is the fine-grid diagonal of A.
+
+    target_coarse defaults to n/24 clipped to [4000, 8000]: larger coarse
+    spaces cut PCG iterations markedly on big meshes, while 8k keeps the
+    one-time host Cholesky inversion of A_c under ~a minute."""
+    if target_coarse is None:
+        target_coarse = int(np.clip(n_verts // 24, 4000, 8000))
     from ..ops.constraints import assemble_geometry_node_matrix
     edges = collect_pair_edges(list(hard) + list(soft), reg_rows)
     agg = greedy_aggregate(n_verts, edges, target_coarse=target_coarse)

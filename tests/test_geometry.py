@@ -197,3 +197,39 @@ def test_closest_point_2stage_exact_on_real_mesh():
     d_f = np.linalg.norm(np.asarray(q) - np.asarray(
         closest_point_on_mesh_2stage(q, tri, k=48)), axis=1)
     assert np.allclose(d_f, d_e, rtol=1e-9, atol=1e-11)
+
+
+def test_sparse_assembly_matches_dense():
+    """ELL/CSR assembly (the large-mesh PCG matvec) must equal the dense
+    global matrix over every constraint type + regularization rows."""
+    import jax.numpy as jnp
+    from aa_admm_tpu.ops.constraints import (
+        AngleBatch, EdgeLengthBatch, PlaneBatch, ClosenessBatch,
+        assemble_geometry_node_matrix, assemble_geometry_node_matrix_sparse)
+    from aa_admm_tpu.solver.geometry import EllMatrix
+
+    rng = np.random.default_rng(3)
+    n = 24
+    hard = [
+        AngleBatch.create(
+            rng.integers(0, n, size=(10, 3)), 1.0, np.pi / 4, 3 * np.pi / 4),
+        EdgeLengthBatch.create(rng.integers(0, n, size=(12, 2)), 1.0, 1.0),
+        PlaneBatch.create([list(rng.choice(n, size=4, replace=False))
+                           for _ in range(6)], 1.0),
+    ]
+    soft = [ClosenessBatch.create([1, 5, 7], 2.5,
+                                  rng.normal(size=(3, 3)))]
+    R, K = 5, 3
+    reg = (rng.integers(0, n, size=(R, K)),
+           rng.normal(size=(R, K)),
+           np.ones((R, K), bool))
+
+    dense = assemble_geometry_node_matrix(n, hard, soft, 37.0, reg_rows=reg)
+    csr = assemble_geometry_node_matrix_sparse(n, hard, soft, 37.0,
+                                               reg_rows=reg)
+    np.testing.assert_allclose(csr.toarray(), dense, rtol=0, atol=1e-12)
+
+    ell = EllMatrix.from_csr(csr, np.float64)
+    v = rng.normal(size=(n, 3))
+    np.testing.assert_allclose(np.asarray(ell.apply(jnp.asarray(v))),
+                               dense @ v, rtol=1e-12, atol=1e-12)
