@@ -41,7 +41,12 @@ class Settings:
     verbose: int = 1                     # -v
     admm_iters: int = 500                # -it
     gravity: float = -9.8                # -g
-    constraint_w: float = -1.0           # -ck
+    # -ck: parsed for CLI compatibility but vestigial, like the reference:
+    # constraint_w only scales ConstraintSet::make_matrix's linear collision
+    # rows (ConstraintSet.hpp:67), a path that is dead with the LDLT solver
+    # the shipped scenes use (collisions go through CollisionEnergyTerm
+    # instead, whose weight is sqrt(2*bulk(soft_rubber)) and not -ck-scaled).
+    constraint_w: float = -1.0           # -ck (vestigial, see above)
     anderson_m: int = 2                  # -am (setting it turns acceleration on)
     beta: float = 1.0                    # -ab (xzu only; vestigial in reference)
     penalty: float = 1.0                 # -ap (zxu only)

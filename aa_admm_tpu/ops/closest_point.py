@@ -173,9 +173,14 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
         # arXiv:2206.14286) — a full sort-based top_k over T~40k columns
         # costs seconds per call at this scale. Recall loss affects
         # borderline ranks near k, not the smallest bounds, and stage 2
-        # takes the exact argmin over the k candidates; accuracy vs brute
-        # force is pinned by tests on the real benchmark meshes.
-        _, idx = jax.lax.approx_min_k(lower, k, recall_target=0.95)  # (q, k)
+        # takes the exact argmin over the k candidates. recall_target=0.999
+        # (vs the 0.95 default-ish setting) guards the tied-at-zero case
+        # where a query sits inside many bounding spheres; accuracy vs brute
+        # force is pinned by tests on the real benchmark meshes, including a
+        # TPU-gated run (tests/test_closest_point_tpu.py) since the CPU
+        # lowering of approx_min_k is an exact sort and cannot catch TPU
+        # recall misses.
+        _, idx = jax.lax.approx_min_k(lower, k, recall_target=0.999)  # (q, k)
         cand = tri_verts[idx]                               # (q, k, 3, 3)
         q, sqd = _closest_point_candidates(pc, cand)
         return q

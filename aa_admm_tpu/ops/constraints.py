@@ -351,7 +351,12 @@ def assemble_geometry_node_matrix_sparse(n_verts: int, hard, soft, rho: float,
     constraint transforms every CG iteration (ELL path, solver/geometry.py)."""
     import scipy.sparse as sp
 
-    rows, cols, vals = [], [], []
+    # Seed with empties so a system with no constraints/regularization
+    # assembles to an all-zero matrix (like the dense assembler) instead of
+    # crashing in np.concatenate.
+    rows = [np.zeros(0, np.int64)]
+    cols = [np.zeros(0, np.int64)]
+    vals = [np.zeros(0, np.float64)]
 
     def emit(idx, K):
         # idx (C, k) global indices; K (C, k, k) local stiffness.

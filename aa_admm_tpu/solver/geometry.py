@@ -230,6 +230,7 @@ def _alm_init_state(system: GeometrySystem, init_x):
                 it=jnp.zeros((), jnp.int32), trial=jnp.zeros((), jnp.int32),
                 fv=fv0, rj=rj0, rejects=jnp.zeros((), jnp.int32),
                 limit=jnp.asarray(max_iter, jnp.int32),
+                max_trials=jnp.asarray(2 * max_iter + 4, jnp.int32),
                 cgit=jnp.zeros((), jnp.int32))
 
 
@@ -239,11 +240,13 @@ def solve_alm_chunk(system: GeometrySystem, state):
     and return the carried state. ``limit`` is dynamic so a chunked driver
     can reuse one compiled program for every dispatch; ``it`` counts accepted
     iterations within this dispatch and histories are per-dispatch arrays."""
-    max_iter = system.max_iter
     accel = system.accel
 
     def cond(st):
-        return (st["it"] < st["limit"]) & (st["trial"] < 2 * max_iter + 4)
+        # max_trials is the reference's single runaway bound of 2*iters+4
+        # over the *whole* solve (ALMGeometrySolver.h:197); the chunked
+        # driver carries ``trial`` across dispatches so the budget is global.
+        return (st["it"] < st["limit"]) & (st["trial"] < st["max_trials"])
 
     def body(st):
         # st["x"] carries delta = x - x0 (see GeometrySystem delta anchors).
@@ -282,7 +285,8 @@ def solve_alm_chunk(system: GeometrySystem, state):
                         prev=res, reset=jnp.asarray(False), aa=aa,
                         it=st["it"] + 1, trial=st["trial"] + 1,
                         fv=fv, rj=rj, rejects=jnp.zeros((), jnp.int32),
-                        limit=st["limit"], cgit=st["cgit"] + n_cg)
+                        limit=st["limit"], max_trials=st["max_trials"],
+                        cgit=st["cgit"] + n_cg)
 
         def on_reject(st):
             aa = anderson.reset(
@@ -293,6 +297,7 @@ def solve_alm_chunk(system: GeometrySystem, state):
                         it=st["it"], trial=st["trial"] + 1,
                         fv=st["fv"], rj=st["rj"],
                         rejects=st["rejects"] + 1, limit=st["limit"],
+                        max_trials=st["max_trials"],
                         cgit=st["cgit"] + n_cg)
 
         return jax.lax.cond(accept, on_accept, on_reject, st)
@@ -301,9 +306,12 @@ def solve_alm_chunk(system: GeometrySystem, state):
 
 
 def solve_alm(system: GeometrySystem, init_x) -> GeometryTrace:
-    """ALMGeometrySolver::solve_ADMM (ALMGeometrySolver.h:163-283)."""
+    """ALMGeometrySolver::solve_ADMM (ALMGeometrySolver.h:163-283).
+    Trace.x holds *absolute* positions (x0 + delta when delta anchors are
+    set), regardless of the internal delta-form state."""
     st = solve_alm_chunk(system, _alm_init_state(system, init_x))
-    return GeometryTrace(x=st["dx"], function_values=st["fv"],
+    x_abs = st["dx"] if system.x0 is None else system.x0 + st["dx"]
+    return GeometryTrace(x=x_abs, function_values=st["fv"],
                          rejects=st["rj"], n_trials=st["trial"])
 
 
@@ -503,9 +511,21 @@ class ALMGeometrySolver:
         tunneled TPU need this (a single multi-minute dispatch can exceed
         the transport's execution window), and it yields per-chunk wall
         times for the residual artifact. Semantics match the single-dispatch
-        path except that the runaway-trial bound (2*iters+4, matching the
-        reference's accept-counting loop) applies per chunk."""
+        path: the runaway-trial bound (2*iters+4, matching the reference's
+        accept-counting loop) is carried across chunks as one global
+        budget."""
         assert self.system is not None
+        if int(max_iter) < 1:
+            # Nothing to run: return the init state unchanged.
+            x0j = jnp.asarray(np.asarray(init_x, self.dtype))
+            self._solution = np.asarray(init_x, np.float64).copy()
+            self.function_values = []
+            self.elapsed_time = []
+            self.anderson_reset = []
+            return GeometryTrace(x=x0j,
+                                 function_values=jnp.zeros((0,), x0j.dtype),
+                                 rejects=jnp.zeros((0,), jnp.int32),
+                                 n_trials=jnp.zeros((), jnp.int32))
         if cg_tol is None:
             cg_tol = os.environ.get("AAADMM_GEO_CG_TOL")
         if cg_tol is None:
@@ -536,13 +556,15 @@ class ALMGeometrySolver:
 
         t = MicroTimer()
         state = _alm_init_state(self.system, x0)
-        fvs, rjs, times = [], [], []
+        # One global runaway budget over the whole solve, like the
+        # reference's single accept-counting loop (not per chunk).
+        state["max_trials"] = jnp.asarray(2 * int(max_iter) + 4, jnp.int32)
+        fvs, rjs, times = [], [], [0.0]
         done, trials = 0, 0
         while done < int(max_iter):
             lim = min(chunk, int(max_iter) - done)
             state["limit"] = jnp.asarray(lim, jnp.int32)
             state["it"] = jnp.zeros((), jnp.int32)
-            state["trial"] = jnp.zeros((), jnp.int32)
             state["fv"] = jnp.full((chunk,), jnp.nan, x0.dtype)
             state["rj"] = jnp.zeros((chunk,), jnp.int32)
             state["cgit"] = jnp.zeros((), jnp.int32)
@@ -553,7 +575,7 @@ class ALMGeometrySolver:
                 (state["it"], state["trial"], state["fv"], state["rj"],
                  state["cgit"]))
             n_acc = int(h_it)
-            trials += int(h_trial)
+            trials = int(h_trial)  # cumulative: carried across chunks
             fvs.append(np.asarray(h_fv)[:n_acc])
             rjs.append(np.asarray(h_rj)[:n_acc])
             times.append(t.elapsed_s())
@@ -566,12 +588,13 @@ class ALMGeometrySolver:
                 break
         total = times[-1]
         delta = state["dx"]
-        trace = GeometryTrace(x=delta,
+        # Absolute solution reconstructed in f64 on host: x0 was kept exact.
+        self._solution = x0_np + np.asarray(delta, np.float64)
+        # Trace.x holds absolute positions (not the internal delta state).
+        trace = GeometryTrace(x=jnp.asarray(self._solution.astype(self.dtype)),
                               function_values=jnp.asarray(np.concatenate(fvs)),
                               rejects=jnp.asarray(np.concatenate(rjs)),
                               n_trials=jnp.asarray(trials, jnp.int32))
-        # Absolute solution reconstructed in f64 on host: x0 was kept exact.
-        self._solution = x0_np + np.asarray(delta, np.float64)
         fv = np.asarray(trace.function_values)
         valid = ~np.isnan(fv)
         n = int(valid.sum())
@@ -579,7 +602,7 @@ class ALMGeometrySolver:
         # Interpolate iteration timestamps within each chunk window.
         self.elapsed_time = []
         t_prev, i_seen = 0.0, 0
-        for chunk_fv, t_end in zip(fvs, times):
+        for chunk_fv, t_end in zip(fvs, times[1:]):
             k = len(chunk_fv)
             for j in range(k):
                 self.elapsed_time.append(

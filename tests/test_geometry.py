@@ -233,3 +233,55 @@ def test_sparse_assembly_matches_dense():
     v = rng.normal(size=(n, 3))
     np.testing.assert_allclose(np.asarray(ell.apply(jnp.asarray(v))),
                                dense @ v, rtol=1e-12, atol=1e-12)
+
+
+def test_sparse_assembly_empty():
+    """No constraints at all: the sparse assembler must return an all-zero
+    matrix like the dense one, not crash on empty concatenation."""
+    from aa_admm_tpu.ops.constraints import (
+        assemble_geometry_node_matrix_sparse)
+    A = assemble_geometry_node_matrix_sparse(5, [], [], 1.0, reg_rows=None)
+    assert A.shape == (5, 5)
+    assert A.nnz == 0
+
+
+def test_solve_admm_zero_iterations():
+    """max_iter=0 returns the input unchanged (no IndexError on the empty
+    chunk history)."""
+    verts, faces = _noisy_quad_grid(3, 3, 0.1, seed=2)
+    solver = ALMGeometrySolver()
+    solver.add_hard_constraint(PlaneBatch.create(faces, weight=1.0))
+    solver.add_soft_constraint(ClosenessBatch.create(
+        list(range(len(verts))), weight=1.0, targets=verts))
+    solver.setup_ADMM(len(verts), penalty_param=1e3)
+    trace = solver.solve_ADMM(verts, 1e-10, 0, 5)
+    np.testing.assert_allclose(solver.get_solution(), verts)
+    assert trace.function_values.shape == (0,)
+    assert solver.function_values == []
+
+
+def test_chunked_matches_single_dispatch():
+    """Chunked dispatch must reproduce the single-dispatch trajectory exactly,
+    including the accept/reject sequence and the global runaway-trial budget
+    (the trial counter is carried across chunks, not reset per chunk)."""
+    verts, faces = _noisy_quad_grid(4, 4, 0.25, seed=5)
+
+    def run(chunk):
+        s = ALMGeometrySolver()
+        s.add_hard_constraint(PlaneBatch.create(faces, weight=1.0))
+        s.add_soft_constraint(ClosenessBatch.create(
+            list(range(len(verts))), weight=1.0, targets=verts))
+        s.setup_ADMM(len(verts), penalty_param=1e3)
+        trace = s.solve_ADMM(verts, 1e-10, 40, 5, chunk_iters=chunk)
+        return s, trace
+
+    s1, t1 = run(None)          # single dispatch
+    s2, t2 = run(7)             # 7-iteration chunks (uneven split of 40)
+    assert s1.function_values == s2.function_values
+    assert s1.anderson_reset == s2.anderson_reset
+    assert int(t1.n_trials) == int(t2.n_trials)
+    np.testing.assert_allclose(s2.get_solution(), s1.get_solution(),
+                               rtol=0, atol=0)
+    # Trace.x is the absolute solution, not the internal delta state.
+    np.testing.assert_allclose(np.asarray(t2.x), s2.get_solution(),
+                               rtol=0, atol=1e-12)
