@@ -12,8 +12,11 @@ Two sharding axes, mapped to how this workload actually scales:
   gather/segment_sum into replicated vertex arrays and the residual norms
   become XLA-inserted collectives (psum) over ICI.
 
-GSPMD propagates shardings from the annotated inputs through the whole
-scanned ADMM loop — no manual collectives in the step function itself.
+Element arrays are kept sharded through the scanned ADMM loop by explicit
+in-loop ``with_sharding_constraint`` calls (PhysicsSystem.constrain_elems on
+every deform/prox/dual-update output) — input annotation alone is not enough,
+XLA may replicate small operands. The vertex-space gathers/segment_sums and
+the residual norms become XLA-inserted collectives (psum) over ICI.
 """
 
 from __future__ import annotations
@@ -35,7 +38,9 @@ def make_mesh(n_devices: int, prefer_dp: int = 2):
 
 def shard_system(system, mesh):
     """Place element-batch arrays with their element axis sharded over
-    'elem'; everything else replicated."""
+    'elem', everything else replicated, and set ``elem_sharding`` on the
+    system so the step functions pin element blocks in-loop
+    (PhysicsSystem.constrain_elems)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -49,8 +54,14 @@ def shard_system(system, mesh):
             if f.metadata.get("static"):
                 continue
             v = getattr(b, f.name)
+            n_elem = mesh.shape["elem"]
             if isinstance(v, jnp.ndarray) and v.ndim >= 1 and \
-                    v.shape[0] == getattr(b, "w").shape[0]:
+                    v.shape[0] == getattr(b, "w").shape[0] and \
+                    v.shape[0] % n_elem == 0:
+                # device_put needs even tiling; batches with a ragged element
+                # count are left replicated at the input — the in-loop
+                # constrain_elems still shards their intermediates (GSPMD
+                # pads unevenly-divisible intermediates internally).
                 spec = P("elem", *([None] * (v.ndim - 1)))
                 updates[f.name] = jax.device_put(v, NamedSharding(mesh, spec))
             elif isinstance(v, jnp.ndarray):
@@ -68,7 +79,9 @@ def shard_system(system, mesh):
         v = getattr(system, f.name)
         others[f.name] = jax.tree_util.tree_map(
             lambda a: jax.device_put(a, repl), v) if v is not None else None
-    return dataclasses.replace(system, batches=batches, **others)
+    return dataclasses.replace(system, batches=batches,
+                               elem_sharding=NamedSharding(mesh, P("elem")),
+                               **others)
 
 
 def ensemble_step(order: str = "xzu"):
@@ -80,43 +93,75 @@ def ensemble_step(order: str = "xzu"):
     return jax.jit(jax.vmap(base, in_axes=(None, 0, 0, 0)))
 
 
-def dryrun(n_devices: int) -> None:
-    """Compile + execute one full (accelerated) training step over an
-    n-device mesh with real dp x elem shardings, on tiny shapes."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
+def build_tiny_scene(order: str = "xzu", dtype="float32", admm_iters: int = 3,
+                     anderson_m: int = 3):
+    """A tiny 40-tet beam scene for dryruns/sharding tests. The zxu variant
+    adds per-vertex hard-collision energy terms against a floor + cylinder
+    (plinko-style CollisionBatch) so the collision prox path is covered."""
     from ..core.config import AccelType, Lame, Settings
     from ..core.factory import make_tet_blocks
     from ..solver.physics import PhysicsSolver, UpdateOrder
 
-    mesh = make_mesh(n_devices)
-    dp = mesh.shape["dp"]
-
-    # Tiny beam: 8x1x1 blocks -> 40 tets (divisible by any elem-axis size
-    # up to 8 when paired with dp=2).
     mesh_data = make_tet_blocks(8, 1, 1)
     lo, hi = mesh_data.bounds()
     mesh_data.verts = (mesh_data.verts - 0.5 * (lo + hi)) / (hi - lo)[1]
 
     s = Settings()
-    s.admm_iters = 3
+    s.admm_iters = admm_iters
     s.verbose = 0
     s.acceleration_type = AccelType.ANDERSON
-    s.anderson_m = 3
-    s.dtype = np.dtype("float32")
-    solver = PhysicsSolver(order=UpdateOrder.XZU)
+    s.anderson_m = anderson_m
+    s.dtype = np.dtype(dtype)
+    solver = PhysicsSolver(order=UpdateOrder(order))
     solver.add_tetmesh(mesh_data.verts, mesh_data.tets,
                        Lame.from_young_poisson(1e6, 0.35))
-    min_x = mesh_data.verts[:, 0].min() + 1e-3
-    solver.set_pins([i for i, v in enumerate(mesh_data.verts)
-                     if v[0] < min_x])
+    if order == "zxu":
+        solver.add_obstacle("floor", y=float(mesh_data.verts[:, 1].min()
+                                             - 0.02))
+        solver.add_obstacle("cylinder", center=(0.0, -0.5, 0.0), rad=0.2)
+        solver.set_collisions(list(range(len(mesh_data.verts))))
+    else:
+        min_x = mesh_data.verts[:, 0].min() + 1e-3
+        solver.set_pins([i for i, v in enumerate(mesh_data.verts)
+                         if v[0] < min_x])
     solver.initialize(s)
+    return solver, s
 
+
+def _assert_elem_constraints(step_fn, system, args):
+    """The compiled module must retain in-loop element-axis sharding
+    constraints (sdy.sharding_constraint on the 'elem' axis) — input
+    annotation alone can be silently dropped by GSPMD."""
+    import jax
+    txt = jax.jit(step_fn).lower(system, *args).as_text()
+    n_constraints = txt.count("sharding_constraint")
+    assert n_constraints >= 3 and '"elem"' in txt, (
+        f"element-axis sharding constraints missing from lowered module "
+        f"(found {n_constraints})")
+
+
+def dryrun(n_devices: int) -> None:
+    """Compile + execute one full (accelerated) training step over an
+    n-device mesh, for BOTH update orders:
+
+    * xzu — dp x elem sharded scene ensemble (AA on z);
+    * zxu — all-'elem' sharded single scene with CollisionBatch (AA on
+      (u, x), penalty path).
+
+    Asserts finiteness of the results and that the lowered modules retain
+    the in-loop element-axis sharding constraints."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..solver.physics import step_xzu, step_zxu
+
+    # ---- xzu: dp-sharded ensemble x elem-sharded batches ----
+    mesh = make_mesh(n_devices)
+    dp = mesh.shape["dp"]
+    solver, s = build_tiny_scene("xzu")
     system = shard_system(solver.system, mesh)
 
-    # Scene ensemble: dp copies with slightly different velocities.
     xs = np.broadcast_to(solver.x, (dp,) + solver.x.shape).copy()
     vs = np.zeros_like(xs)
     vs[:, :, 1] = np.linspace(0.0, -0.1, dp)[:, None]
@@ -135,3 +180,20 @@ def dryrun(n_devices: int) -> None:
     assert x_new.shape == xs.shape
     assert bool(jnp.all(jnp.isfinite(x_new)))
     assert bool(jnp.all(jnp.isfinite(trace.prim)))
+    _assert_elem_constraints(
+        step_xzu, system,
+        (jnp.asarray(solver.x, s.dtype), jnp.asarray(solver.v, s.dtype),
+         jnp.asarray(solver.pin_pos, s.dtype)))
+
+    # ---- zxu: single scene, all devices on the element axis ----
+    mesh_z = make_mesh(n_devices, prefer_dp=1)
+    solver_z, sz = build_tiny_scene("zxu")
+    system_z = shard_system(solver_z.system, mesh_z)
+    args_z = (jnp.asarray(solver_z.x, sz.dtype),
+              jnp.asarray(solver_z.v, sz.dtype),
+              jnp.asarray(solver_z.pin_pos, sz.dtype))
+    xz, vz, trace_z = jax.jit(step_zxu)(system_z, *args_z)
+    xz.block_until_ready()
+    assert bool(jnp.all(jnp.isfinite(xz)))
+    assert bool(jnp.all(jnp.isfinite(trace_z.prim)))
+    _assert_elem_constraints(step_zxu, system_z, args_z)

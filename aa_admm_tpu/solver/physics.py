@@ -100,6 +100,15 @@ class PhysicsSystem:
     wind: Optional[WindForce]
     n_verts: int = _static(default=0)
     n_free: int = _static(default=0)
+    # Element-axis model parallelism (SURVEY.md section 2.4/5.8): a
+    # NamedSharding over PartitionSpec('elem') applied as an in-loop
+    # with_sharding_constraint to every element-block tuple (deform outputs,
+    # prox outputs, dual updates), so GSPMD provably keeps the local step
+    # device-parallel through the scanned ADMM loop instead of silently
+    # replicating small operands. None = single-device (no constraints).
+    # The TPU analogue of the reference's OpenMP element loop
+    # (admm_anderson_xzu/src/Solver.cpp:190-213).
+    elem_sharding: Optional[object] = _static(default=None)
     order: str = _static(default="xzu")
     dt: float = _static(default=1.0 / 30.0)
     gravity: float = _static(default=-9.8)
@@ -113,8 +122,17 @@ class PhysicsSystem:
 
     # ---- element-sweep helpers (the functional L4->L2 interface) ----
 
+    def constrain_elems(self, ts):
+        """Pin a tuple of per-element block arrays to the 'elem' sharding
+        (no-op single-device). Composes with vmap: the ensemble dp axis is
+        prepended to the spec automatically."""
+        if self.elem_sharding is None:
+            return ts
+        return tuple(jax.lax.with_sharding_constraint(t, self.elem_sharding)
+                     for t in ts)
+
     def deform(self, x):
-        return tuple(b.deform(x) for b in self.batches)
+        return self.constrain_elems(tuple(b.deform(x) for b in self.batches))
 
     def scatter(self, ts):
         out = jnp.zeros((self.n_verts, 3), ts[0].dtype)
@@ -155,7 +173,8 @@ def _unflatten(flat, templates):
 # ----------------------------------------------------------------------------
 
 def _prox_all(system: PhysicsSystem, vs):
-    return tuple(b.prox(v) for b, v in zip(system.batches, vs))
+    return system.constrain_elems(
+        tuple(b.prox(v) for b, v in zip(system.batches, vs)))
 
 
 def _grad_all(system: PhysicsSystem, zs):
@@ -262,6 +281,7 @@ def step_xzu(system: PhysicsSystem, x, v, pin_pos):
         else:
             # u += Dx - Wz - C (Solver.cpp:138-141)
             cu = _tmap(jnp.add, cu, _prim_vec(system, cx, cz))
+        cu = system.constrain_elems(cu)
 
         cx = _solve_x(system, M_xbar_free, cz, cu, c_blocks, base_full,
                       x_warm=cx)
@@ -272,7 +292,8 @@ def step_xzu(system: PhysicsSystem, x, v, pin_pos):
                 cx, cz, cu, aa, prim = args
                 cz2, cx2, cu2 = dz_, dx_, du_
                 aa2 = anderson.replace(aa, _flatten(cz2))
-                cu2 = _tmap(jnp.add, cu2, _prim_vec(system, cx2, cz2))
+                cu2 = system.constrain_elems(
+                    _tmap(jnp.add, cu2, _prim_vec(system, cx2, cz2)))
                 cx2 = _solve_x(system, M_xbar_free, cz2, cu2, c_blocks, base_full)
                 prim2 = jnp.sqrt(_sqnorm_all(_prim_vec(system, cx2, cz2)))
                 return cx2, cz2, cu2, aa2, prim2
@@ -289,7 +310,7 @@ def step_xzu(system: PhysicsSystem, x, v, pin_pos):
             ndx, ndu = cx, cu
             ndz = _update_z(system, cx, cu)
             aa, zflat = anderson.compute(aa, _flatten(ndz))
-            cz = _unflatten(zflat, ndz)
+            cz = system.constrain_elems(_unflatten(zflat, ndz))
         else:
             ndx, ndu = cx, cu
             last_z = cz
@@ -472,7 +493,7 @@ def step_zxu(system: PhysicsSystem, x, v, pin_pos):
     u = tuple(jnp.zeros_like(zb) for zb in system.deform(xbar_full))
     z = _update_z(system, xbar_full, u)
     x_full = _solve_x(system, M_xbar_free, z, u, c_blocks, base_full)
-    u = _tmap(jnp.add, u, _prim_vec(system, x_full, z))
+    u = system.constrain_elems(_tmap(jnp.add, u, _prim_vec(system, x_full, z)))
 
     def flat_ux(u, xf):
         return jnp.concatenate([_flatten(u), xf.ravel()])
@@ -524,11 +545,13 @@ def step_zxu(system: PhysicsSystem, x, v, pin_pos):
 
         # u-update + AA happen only if the eps-break did not fire
         # (zxu Solver.cpp:188-207: break precedes them).
-        cu2 = _tmap(jnp.add, cu, _prim_vec(system, cx, cz))
+        cu2 = system.constrain_elems(
+            _tmap(jnp.add, cu, _prim_vec(system, cx, cz)))
         if accel:
             ndu, ndx = cu2, cx
             aa2, mixed = anderson.compute(aa, flat_ux(cu2, cx[system.free_idx]))
-            u_mixed = _unflatten(mixed[: sum(int(np.prod(t.shape)) for t in cu2)], cu2)
+            u_mixed = system.constrain_elems(_unflatten(
+                mixed[: sum(int(np.prod(t.shape)) for t in cu2)], cu2))
             x_mixed = base_full.at[system.free_idx].set(
                 mixed[-system.n_free * 3:].reshape(system.n_free, 3))
             cu3, cx3, aa3 = u_mixed, x_mixed, aa2

@@ -57,3 +57,83 @@ def test_ensemble_matches_single():
                              jnp.asarray(vs[b]), jnp.asarray(pps[b]))
         assert np.allclose(np.asarray(xb[b]), np.asarray(x1),
                            rtol=1e-10, atol=1e-12)
+
+
+def _elem_mesh(n):
+    from aa_admm_tpu.parallel.ensemble import make_mesh
+    return make_mesh(n, prefer_dp=1)   # all devices on the element axis
+
+
+def _step_fn(order):
+    from aa_admm_tpu.solver.physics import step_xzu, step_zxu
+    return step_xzu if order == "xzu" else step_zxu
+
+
+@pytest.mark.parametrize("order", ["xzu", "zxu"])
+def test_elem_sharding_parity(order):
+    """elem=8 sharded step must match the unsharded step to f64 roundoff —
+    the proof that in-loop sharding constraints don't change the math
+    (VERDICT r1 item 1; reference capability: the OpenMP local step,
+    admm_anderson_xzu/src/Solver.cpp:190-213). zxu covers CollisionBatch."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    from aa_admm_tpu.parallel.ensemble import build_tiny_scene, shard_system
+
+    solver, s = build_tiny_scene(order, dtype="float64", admm_iters=8,
+                                 anderson_m=3)
+    args = (jnp.asarray(solver.x), jnp.asarray(solver.v),
+            jnp.asarray(solver.pin_pos))
+    step = _step_fn(order)
+    x1, v1, tr1 = step(solver.system, *args)
+
+    mesh = _elem_mesh(8)
+    system = shard_system(solver.system, mesh)
+    x8, v8, tr8 = jax.jit(step)(system, *args)
+
+    assert np.allclose(np.asarray(x8), np.asarray(x1), rtol=1e-10, atol=1e-12)
+    assert np.allclose(np.asarray(v8), np.asarray(v1), rtol=1e-10, atol=1e-10)
+    p1, p8 = np.asarray(tr1.prim), np.asarray(tr8.prim)
+    m = ~np.isnan(p1)
+    assert np.allclose(p8[m], p1[m], rtol=1e-9)
+    assert int(tr8.reset_count) == int(tr1.reset_count)
+
+
+@pytest.mark.parametrize("order", ["xzu", "zxu"])
+def test_elem_constraints_survive_compilation(order):
+    """The lowered step module must contain in-loop sharding_constraint ops
+    on the 'elem' axis (input annotation alone is not proof — XLA may
+    replicate small operands)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    from aa_admm_tpu.parallel.ensemble import build_tiny_scene, shard_system
+
+    solver, s = build_tiny_scene(order, dtype="float64", admm_iters=2,
+                                 anderson_m=2)
+    system = shard_system(solver.system, _elem_mesh(8))
+    args = (jnp.asarray(solver.x), jnp.asarray(solver.v),
+            jnp.asarray(solver.pin_pos))
+    txt = jax.jit(_step_fn(order)).lower(system, *args).as_text()
+    assert txt.count("sharding_constraint") >= 3
+    assert '"elem"' in txt
+
+
+def test_elem_arrays_stay_sharded():
+    """Post-compile sharding inspection: the z blocks produced by the local
+    sweep must come out sharded over 'elem', not replicated."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    from aa_admm_tpu.parallel.ensemble import build_tiny_scene, shard_system
+    from aa_admm_tpu.solver.physics import _update_z
+
+    solver, s = build_tiny_scene("xzu", dtype="float64")
+    system = shard_system(solver.system, _elem_mesh(8))
+    x = jnp.asarray(solver.x)
+    u = tuple(jnp.zeros_like(zb) for zb in system.deform(x))
+    z = jax.jit(_update_z)(system, x, u)
+    for zb in z:
+        spec = zb.sharding.spec
+        assert len(spec) >= 1 and spec[0] == "elem", (
+            f"z block replicated: {zb.sharding}")
