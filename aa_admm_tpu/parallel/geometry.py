@@ -1,0 +1,109 @@
+"""Multi-chip sharding for the geometry (ALM) solver — a new capability
+over the reference, whose ALMGeometrySolver is OpenMP shared-memory only
+(Geometry/ALMGeometrySolver.h:163-283; SURVEY.md section 2.4/5.8).
+
+The decomposition follows the matrix-free design of solver/linear.py: the
+vertex-row axis of the global step (ELL matvec rows, CG vectors, the
+preconditioner's fine-grid arrays) and the constraint-element axis of the
+local step (projection blocks z/u/Dx) are sharded over one device axis
+('elem'); the only cross-device traffic is then
+
+* CG dot products and residual norms  -> psum over ICI,
+* the ELL gather ``v[idx]`` and constraint gathers of neighbor vertices
+  -> sharded gathers (halo exchange inserted by XLA),
+* AA inner products -> psum, followed by the replicated m x m solve.
+
+Shardings are enforced in-loop with ``with_sharding_constraint``
+(GeometrySystem.constrain_rows / constrain_elems and the pcg row pin), not
+just input annotation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+def make_vert_mesh(n_devices: int):
+    """1-axis device mesh for the geometry solver (rows + elements share
+    the axis; there is no ensemble axis in geometry optimization)."""
+    import jax
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices()[:n_devices])
+    return Mesh(devs.reshape(n_devices), ("elem",))
+
+
+def _place(v, sharding):
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(v, jnp.ndarray):
+        return jax.device_put(v, sharding)
+    return v
+
+
+def shard_geometry_system(system, mesh):
+    """Return a copy of a GeometrySystem with vertex-row and element-axis
+    arrays placed sharded over 'elem' and the in-loop sharding constraints
+    armed (vert_sharding / elem_sharding static fields)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n_dev = mesh.shape["elem"]
+    rows = NamedSharding(mesh, P("elem"))
+    repl = NamedSharding(mesh, P())
+
+    def rows_if_even(v):
+        if isinstance(v, jnp.ndarray) and v.ndim >= 1 and \
+                v.shape[0] % n_dev == 0:
+            return jax.device_put(v, rows)
+        return _place(v, repl)
+
+    def place_batch(b):
+        updates = {}
+        E = getattr(b, "w").shape[0]
+        for f in dataclasses.fields(b):
+            if f.metadata.get("static"):
+                continue
+            v = getattr(b, f.name)
+            if isinstance(v, jnp.ndarray) and v.ndim >= 1 and \
+                    v.shape[0] == E and v.shape[0] % n_dev == 0:
+                updates[f.name] = jax.device_put(
+                    v, NamedSharding(mesh, P("elem", *([None] * (v.ndim - 1)))))
+            elif isinstance(v, jnp.ndarray):
+                updates[f.name] = jax.device_put(v, repl)
+        nb = dataclasses.replace(b, **updates)
+        if hasattr(b, "_host"):
+            object.__setattr__(nb, "_host", b._host)
+        return nb
+
+    updates = dict(
+        hard=tuple(place_batch(b) for b in system.hard),
+        soft=tuple(place_batch(b) for b in system.soft),
+        vert_sharding=NamedSharding(mesh, P("elem")),
+        elem_sharding=NamedSharding(mesh, P("elem")),
+    )
+    if system.ell is not None:
+        updates["ell"] = dataclasses.replace(
+            system.ell, idx=rows_if_even(system.ell.idx),
+            coef=rows_if_even(system.ell.coef))
+    if system.mg is not None:
+        updates["mg"] = dataclasses.replace(
+            system.mg, agg=rows_if_even(system.mg.agg),
+            inv_diag=rows_if_even(system.mg.inv_diag),
+            Ac_inv=_place(system.mg.Ac_inv, repl))
+    for name in ("precond_diag", "rhs_fixed", "x0", "Ax0"):
+        v = getattr(system, name)
+        if v is not None:
+            updates[name] = rows_if_even(v)
+    if system.reg is not None:
+        updates["reg"] = dataclasses.replace(
+            system.reg,
+            idx=rows_if_even(system.reg.idx),
+            coef=rows_if_even(system.reg.coef),
+            mask=rows_if_even(system.reg.mask),
+            target=rows_if_even(system.reg.target))
+    return dataclasses.replace(system, **updates)

@@ -103,6 +103,13 @@ class GeometrySystem:
     t0_hard: tuple = ()                     # D_h x0 per hard batch (f64->dt)
     t0_soft: tuple = ()                     # D_s x0 per soft batch
     Ax0: Optional[jnp.ndarray] = None       # A x0 (f64 host -> dt)
+    # Multi-chip sharding (None = single device). vert_sharding pins the
+    # (n, 3) vertex-row arrays (CG vectors, ELL matvec rows) over the mesh;
+    # elem_sharding pins the per-constraint block tuples (z, u, Dx). The
+    # reductions (CG dots, residual norms, AA inner products) become
+    # XLA-inserted psums over ICI — SURVEY.md section 5.8 collectives.
+    vert_sharding: Optional[object] = _static(default=None)
+    elem_sharding: Optional[object] = _static(default=None)
     n_verts: int = _static(default=0)
     rho: float = _static(default=1.0)
     max_iter: int = _static(default=100)
@@ -113,11 +120,22 @@ class GeometrySystem:
     cg_tol: float = 1e-12
     cg_max_iters: int = 400
 
+    def constrain_elems(self, ts):
+        if self.elem_sharding is None:
+            return ts
+        return tuple(jax.lax.with_sharding_constraint(t, self.elem_sharding)
+                     for t in ts)
+
+    def constrain_rows(self, x):
+        if self.vert_sharding is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, self.vert_sharding)
+
     def transform_hard(self, x):
-        return tuple(b.transform(x) for b in self.hard)
+        return self.constrain_elems(tuple(b.transform(x) for b in self.hard))
 
     def transform_soft(self, x):
-        return tuple(b.transform(x) for b in self.soft)
+        return self.constrain_elems(tuple(b.transform(x) for b in self.soft))
 
     def dx_hard(self, delta):
         """D_h (x0 + delta) = t0 + D_h delta — exact in the local scale.
@@ -125,14 +143,16 @@ class GeometrySystem:
         the plain transform."""
         if not self.t0_hard:
             return self.transform_hard(delta)
-        return tuple(t0 + b.transform(delta)
-                     for b, t0 in zip(self.hard, self.t0_hard))
+        return self.constrain_elems(tuple(
+            t0 + b.transform(delta)
+            for b, t0 in zip(self.hard, self.t0_hard)))
 
     def dx_soft(self, delta):
         if not self.t0_soft:
             return self.transform_soft(delta)
-        return tuple(t0 + b.transform(delta)
-                     for b, t0 in zip(self.soft, self.t0_soft))
+        return self.constrain_elems(tuple(
+            t0 + b.transform(delta)
+            for b, t0 in zip(self.soft, self.t0_soft)))
 
 
 class GeometryTrace(NamedTuple):
@@ -192,9 +212,11 @@ def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None,
                 out = out + b.scatter(w2 * t, system.n_verts)
             return out + _reg_apply(system, v)
 
-    x, it = pcg(operator, rhs, system.precond_diag, tol=system.cg_tol,
+    x, it = pcg(operator, system.constrain_rows(rhs), system.precond_diag,
+                tol=system.cg_tol,
                 max_iters=system.cg_max_iters, x0=x_warm,
-                precond=system.mg.apply if system.mg is not None else None)
+                precond=system.mg.apply if system.mg is not None else None,
+                row_sharding=system.vert_sharding)
     if with_iters:
         return x, it
     return x
@@ -256,14 +278,16 @@ def solve_alm_chunk(system: GeometrySystem, state):
         prev_dx_h = dx_h
 
         # z-update (:425-440): hard projects (D_h x + u); soft projects D_s x.
-        z_h = tuple(b.project(d + ui)
-                    for b, d, ui in zip(system.hard, dx_h, cu))
-        z_s = tuple(b.project(d) for b, d in zip(system.soft, dx_s))
+        z_h = system.constrain_elems(tuple(
+            b.project(d + ui) for b, d, ui in zip(system.hard, dx_h, cu)))
+        z_s = system.constrain_elems(tuple(
+            b.project(d) for b, d in zip(system.soft, dx_s)))
 
         new_x, n_cg = _solve_x(system, z_h, cu, z_s, x_warm=cx,
                                with_iters=True)
         dx_h2 = system.dx_hard(new_x)
-        new_u = tuple(ui + d - zh for ui, d, zh in zip(cu, dx_h2, z_h))
+        new_u = system.constrain_elems(tuple(
+            ui + d - zh for ui, d, zh in zip(cu, dx_h2, z_h)))
 
         res = (_sqnorm_all(tuple(d - zh for d, zh in zip(dx_h2, z_h)))
                + _sqnorm_all(tuple(d - p for d, p in zip(dx_h2, prev_dx_h))))
@@ -615,6 +639,15 @@ class ALMGeometrySolver:
         print(f"final energy = {ef}")
         print(f"solve time = {total:.3f}s for {n} accepted iterations")
         return trace
+
+    def shard(self, mesh):
+        """Shard the compiled system over a device mesh (call after
+        setup_ADMM, before solve_ADMM). Multi-chip global step: ELL matvec
+        rows + CG vectors + constraint blocks sharded over 'elem', CG dots
+        and residual norms psum'd — see parallel/geometry.py."""
+        assert self.system is not None, "setup_ADMM first"
+        from ..parallel.geometry import shard_geometry_system
+        self.system = shard_geometry_system(self.system, mesh)
 
     def get_solution(self) -> np.ndarray:
         return self._solution

@@ -111,22 +111,29 @@ class DenseInverseSolver:
 
 
 def pcg(operator: Callable, rhs, diag, tol: float = 1e-12,
-        max_iters: int = 400, x0=None, precond: Optional[Callable] = None):
+        max_iters: int = 400, x0=None, precond: Optional[Callable] = None,
+        row_sharding=None):
     """Preconditioned CG on (n, ncoord) blocks.
 
     operator: v (n, c) -> A v (n, c), matrix-free.
     diag: (n,) diagonal of A — the default Jacobi preconditioner.
     precond: optional M^-1 r callable (e.g. multigrid.TwoLevelPrecond.apply)
       overriding Jacobi; must be SPD.
+    row_sharding: optional NamedSharding pinning the n axis of the CG
+      vectors across devices each iteration (multi-chip global step: the
+      matvec rows stay sharded, the dot products become psums over ICI).
     Returns (x, n_iters). Per-column alpha/beta; converged columns freeze.
     """
     if precond is None:
         Minv_diag = (1.0 / diag)[:, None]
         precond = lambda r: Minv_diag * r
+    pin = (lambda a: a) if row_sharding is None else \
+        (lambda a: jax.lax.with_sharding_constraint(a, row_sharding))
     x = jnp.zeros_like(rhs) if x0 is None else x0
-    r = rhs - operator(x)
+    x = pin(x)
+    r = pin(rhs - operator(x))
     z = precond(r)
-    p = z
+    p = pin(z)
     rz = jnp.sum(r * z, axis=0)
     rhs_norm2 = jnp.maximum(jnp.sum(rhs * rhs, axis=0), 1e-300)
     tol2 = tol * tol
@@ -138,16 +145,16 @@ def pcg(operator: Callable, rhs, diag, tol: float = 1e-12,
 
     def body(carry):
         x, r, p, rz, it = carry
-        Ap = operator(p)
+        Ap = pin(operator(p))
         pAp = jnp.sum(p * Ap, axis=0)
         active = (jnp.sum(r * r, axis=0) / rhs_norm2) > tol2
         alpha = jnp.where(active, rz / jnp.where(pAp == 0, 1.0, pAp), 0.0)
-        x = x + alpha[None, :] * p
-        r = r - alpha[None, :] * Ap
+        x = pin(x + alpha[None, :] * p)
+        r = pin(r - alpha[None, :] * Ap)
         z = precond(r)
         rz_new = jnp.sum(r * z, axis=0)
         beta = jnp.where(active, rz_new / jnp.where(rz == 0, 1.0, rz), 0.0)
-        p = z + beta[None, :] * p
+        p = pin(z + beta[None, :] * p)
         return x, r, p, rz_new, it + 1
 
     x, r, p, rz, it = jax.lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0)))

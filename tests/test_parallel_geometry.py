@@ -1,0 +1,100 @@
+"""Multi-chip geometry solver: sharded global step validated on a virtual
+8-device CPU mesh (VERDICT r1 item 2; reference capability replaced:
+ALMGeometrySolver's OpenMP x-update, Geometry/ALMGeometrySolver.h:442-450)."""
+
+import jax
+import numpy as np
+import pytest
+
+from aa_admm_tpu.ops.constraints import (AngleBatch, ClosenessBatch,
+                                         EdgeLengthBatch)
+from aa_admm_tpu.solver.geometry import ALMGeometrySolver
+
+
+def _noisy_quad_grid(nx=15, ny=15, noise=0.15, seed=3):
+    rng = np.random.default_rng(seed)
+    xs, ys = np.meshgrid(np.arange(nx + 1), np.arange(ny + 1), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(),
+                      noise * rng.standard_normal(xs.size)], axis=1).astype(
+                          np.float64)
+    def vid(i, j):
+        return i * (ny + 1) + j
+    edges = []
+    for i in range(nx + 1):
+        for j in range(ny + 1):
+            if i < nx:
+                edges.append((vid(i, j), vid(i + 1, j)))
+            if j < ny:
+                edges.append((vid(i, j), vid(i, j + 1)))
+    return verts, np.asarray(edges, np.int64)
+
+
+def _build_wire_solver():
+    """Wire-mesh-style problem: edge-length + angle hard constraints,
+    closeness soft, forced onto the PCG (large-mesh) path."""
+    verts, edges = _noisy_quad_grid()
+    n = len(verts)
+    solver = ALMGeometrySolver()
+    solver.add_hard_constraint(EdgeLengthBatch.create(edges, 1.0, 0.9))
+    # angle constraints at a subset of interior corners
+    tips = edges[: n // 2, 0]
+    tri = np.stack([tips, (tips + 1) % n, (tips + 2) % n], axis=1)
+    solver.add_hard_constraint(AngleBatch.create(
+        tri, 1.0, np.pi / 4, 3 * np.pi / 4))
+    solver.add_soft_constraint(ClosenessBatch.create(
+        np.arange(n), 1.0, verts))
+    for i in range(1, n - 1):
+        solver.add_uniform_laplacian([i, i - 1, i + 1], 0.05)
+    solver.setup_ADMM(n, penalty_param=100.0, linear_solver="cg")
+    return solver, verts
+
+
+def _run(solver, verts, iters=12, m=5):
+    solver.solve_ADMM(verts, rel_residual_eps=1e-14, max_iter=iters,
+                      anderson_m=m, cg_tol=1e-13)
+    return (np.asarray(solver.get_solution()),
+            np.asarray(solver.function_values))
+
+
+def test_geometry_sharded_matches_single():
+    """Equal residual trajectory: sharded-vs-unsharded ALM solves on the
+    PCG path must agree to f64 roundoff."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from aa_admm_tpu.parallel.geometry import make_vert_mesh
+
+    solver, verts = _build_wire_solver()
+    x1, fv1 = _run(solver, verts)
+
+    solver8, _ = _build_wire_solver()
+    solver8.shard(make_vert_mesh(8))
+    x8, fv8 = _run(solver8, verts)
+
+    assert fv1.shape == fv8.shape
+    assert np.allclose(fv8, fv1, rtol=1e-8), np.abs(fv8 / fv1 - 1).max()
+    assert np.allclose(x8, x1, rtol=1e-9, atol=1e-10)
+
+
+def test_geometry_sharding_constraints_survive_compilation():
+    """The lowered ALM chunk must retain in-loop row/element sharding
+    constraints — post-compile sharding inspection, not input annotation."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+    from aa_admm_tpu.parallel.geometry import make_vert_mesh
+    from aa_admm_tpu.solver.geometry import (_alm_init_state, solve_alm_chunk)
+
+    solver, verts = _build_wire_solver()
+    solver.shard(make_vert_mesh(8))
+    import dataclasses
+    system = dataclasses.replace(solver.system, max_iter=2, anderson_m=2,
+                                 accel=True)
+    state = _alm_init_state(system, jnp.asarray(verts))
+    txt = jax.jit(solve_alm_chunk).lower(system, state).as_text()
+    assert txt.count("sharding_constraint") >= 4
+    assert '"elem"' in txt
+
+    st = jax.jit(solve_alm_chunk)(system, state)
+    # CG vectors and the solution rows come out sharded, not replicated.
+    spec = st["x"].sharding.spec
+    assert len(spec) >= 1 and spec[0] == "elem", st["x"].sharding
