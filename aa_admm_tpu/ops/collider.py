@@ -132,6 +132,13 @@ class DynamicTetCollider:
                    rest_verts=jnp.asarray(mesh.verts),
                    vert_offset=vert_offset)
 
+    def detect_with_overflow(self, queries, x_all, query_ids=None):
+        """(DynamicHit, overflow () bool). The dense path is exact, so
+        overflow is always False here; the spatial-hash subclass reports
+        candidate-list truncation (see HashGridTetCollider)."""
+        return (self.detect(queries, x_all, query_ids=query_ids),
+                jnp.zeros((), bool))
+
     def detect(self, queries, x_all, query_ids=None) -> DynamicHit:
         """queries (P, 3) against the mesh deformed to x_all (n, 3).
         query_ids: global vertex ids of the queries — a query inside a tet
@@ -199,6 +206,13 @@ class HashGridTetCollider(DynamicTetCollider):  # noqa: D401
     Matches DynamicTetCollider.detect exactly whenever no bucket overflows
     ``cap`` (the smallest containing tet index is selected, like the dense
     argmax); tested against the dense path in tests/test_collider.py.
+
+    ``detect_with_overflow`` additionally returns a runtime overflow flag:
+    True when any queried bucket range held more than ``cap`` candidates
+    (contacts may have been silently dropped). Callers must escalate on
+    overflow — PhysicsSolver grows ``cap`` and falls back to the exact
+    dense collider (matching the exactness of the reference BVH,
+    DynamicObject.hpp:65-118) rather than miss self-collisions.
     """
 
     n_buckets: int = dataclasses.field(metadata=dict(static=True),
@@ -230,6 +244,9 @@ class HashGridTetCollider(DynamicTetCollider):  # noqa: D401
         return int(jnp.max(jnp.bincount(th, length=self.n_buckets)))
 
     def detect(self, queries, x_all, query_ids=None) -> DynamicHit:
+        return self.detect_with_overflow(queries, x_all, query_ids)[0]
+
+    def detect_with_overflow(self, queries, x_all, query_ids=None):
         tv = x_all[self.tets]                        # (T, 4, 3)
         T = tv.shape[0]
         centroid = jnp.mean(tv, axis=1)              # (T, 3)
@@ -248,6 +265,10 @@ class HashGridTetCollider(DynamicTetCollider):  # noqa: D401
         nh = self._hash_cells(nbr[..., 0], nbr[..., 1], nbr[..., 2])
         starts = jnp.searchsorted(sorted_hash, nh, side="left")   # (P, 27)
         ends = jnp.searchsorted(sorted_hash, nh, side="right")
+
+        # Runtime exactness guard: a queried bucket range longer than cap
+        # means candidates were dropped and contacts may be missed.
+        overflow = jnp.any((ends - starts) > self.cap)
 
         slot = starts[..., None] + jnp.arange(self.cap)           # (P, 27, cap)
         valid = slot < ends[..., None]
@@ -271,7 +292,7 @@ class HashGridTetCollider(DynamicTetCollider):  # noqa: D401
         first = jnp.minimum(jnp.take_along_axis(pick_key, j[:, None],
                                                 axis=1)[:, 0], T - 1)
         barys4 = jnp.take_along_axis(b, j[:, None, None], axis=1)[:, 0]
-        return self._hit_payload(queries, hit, first, barys4)
+        return self._hit_payload(queries, hit, first, barys4), overflow
 
 
 def _tri_barycentrics(p, tri):

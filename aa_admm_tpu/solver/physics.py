@@ -219,7 +219,8 @@ def _solve_x(system: PhysicsSystem, M_xbar_free, z, u, c_blocks, base_full,
                     + system.dt2p * sv[system.free_idx])
         x0 = None if x_warm is None else x_warm[system.free_idx]
         xf, _ = pcg(operator, rhs, system.precond_diag,
-                    tol=system.cg_tol, max_iters=system.cg_max_iters, x0=x0)
+                    tol=system.cg_tol, max_iters=system.cg_max_iters, x0=x0,
+                    row_sharding=system.elem_sharding)
     return base_full.at[system.free_idx].set(xf)
 
 
@@ -478,6 +479,110 @@ def _j_comb(system, x_full, z, z_ref):
     return _sqnorm_all(dual) + _sqnorm_all(_prim_vec(system, x_full, z))
 
 
+@_jax_mod.jit
+def _j_comb_zxu(system, x_full, last_x, z):
+    """zxu combined residual ||Dx - Wz - C||^2 + ||WD(x - x_last)||^2
+    (admm_anderson_hard_zxu/src/Solver.cpp:181-185)."""
+    dual = _tmap(lambda b, a, c: _wx(b, a - c), system.batches,
+                 system.deform(x_full), system.deform(last_x))
+    return _sqnorm_all(_prim_vec(system, x_full, z)) + _sqnorm_all(dual)
+
+
+def step_zxu_instrumented(system: PhysicsSystem, x, v, pin_pos,
+                          runtime: "RuntimeData"):
+    """Per-phase instrumented zxu step: same algorithm as ``step_zxu`` but a
+    host loop over separately jitted phases, accumulating the reference's
+    RuntimeData buckets (admm_anderson_hard_zxu/src/Solver.cpp timing blocks:
+    local = z prox sweep, global = x solve, acceleration = residual safeguard
+    + AA mixing). Cross-checks the fused scan and yields the per-phase
+    breakdown for profiling parity."""
+    import jax as _jax
+    t = MicroTimer()
+    dt = system.dt
+    v, xbar_full, base_full = _j_predict(system, x, v, pin_pos)
+    M_xbar_free = system.masses[system.free_idx, None] * xbar_full[system.free_idx]
+    c_blocks = system.deform(base_full)
+
+    # Init sweep (zxu Solver.cpp:97-125): z-prox, x-solve, u-update.
+    u = tuple(jnp.zeros_like(zb) for zb in system.deform(xbar_full))
+    z = _j_update_z(system, xbar_full, u)
+    x_full = _j_solve(system, M_xbar_free, z, u, c_blocks, base_full)
+    u = _j_add_prim(system, u, x_full, z)
+
+    def flat_ux(u, xf):
+        return jnp.concatenate([_flatten(u), xf.ravel()])
+
+    zu_size = sum(int(np.prod(t_.shape)) for t_ in u)
+    aa = anderson.init(max(system.anderson_m, 1),
+                       flat_ux(u, x_full[system.free_idx]),
+                       effective_dim=zu_size)
+    _jax.block_until_ready(x_full)
+    runtime.initialization_ms += t.elapsed_ms()
+
+    accel = system.accel
+    cx, cz, cu = x_full, z, u
+    dx_, du_ = x_full, u
+    prev_prim = float("inf")
+    prims, combs, rejects = [], [], []
+    resets = 0
+
+    for _ in range(system.admm_iters):
+        t.reset()
+        cz = _j_update_z(system, cx, cu)
+        _jax.block_until_ready(cz)
+        runtime.local_ms += t.elapsed_ms()
+
+        t.reset()
+        prim = float(_j_prim_norm(system, cx, cz))
+        rejected = 0
+        if accel and prev_prim < prim:
+            resets += 1
+            rejected = 1
+            cu, cx = du_, dx_
+            aa = anderson.reset(aa, flat_ux(cu, cx[system.free_idx]))
+            cz = _j_update_z(system, cx, cu)
+            prim = float(_j_prim_norm(system, cx, cz))
+        prev_prim = prim
+        runtime.acceleration_ms += t.elapsed_ms()
+
+        t.reset()
+        last_x = cx
+        cx = _j_solve(system, M_xbar_free, cz, cu, c_blocks, base_full,
+                      last_x)
+        _jax.block_until_ready(cx)
+        runtime.global_ms += t.elapsed_ms()
+        runtime.inner_iters += 1
+
+        comb = float(_j_comb_zxu(system, cx, last_x, cz))
+        if comb < _EPS_BREAK:
+            # zxu breaks before the u-update/AA and does not record the
+            # breaking iteration (Solver.cpp:188-212).
+            break
+
+        t.reset()
+        cu = _j_add_prim(system, cu, cx, cz)
+        du_, dx_ = cu, cx
+        if accel:
+            aa, mixed = _j_aa_compute(aa, flat_ux(cu, cx[system.free_idx]))
+            cu = _unflatten(mixed[:zu_size], cu)
+            cx = base_full.at[system.free_idx].set(
+                mixed[zu_size:].reshape(system.n_free, 3))
+        _jax.block_until_ready(cx)
+        runtime.acceleration_ms += t.elapsed_ms()
+
+        prims.append(prim)
+        combs.append(comb)
+        rejects.append(rejected)
+        runtime.step_time.append(runtime.local_ms + runtime.global_ms
+                                 + runtime.acceleration_ms)
+
+    # Accelerated runs commit default_x (Solver.cpp:216-223).
+    x_new = dx_ if accel else cx
+    v_new = (x_new - x) / dt
+    return (x_new, v_new, np.asarray(prims), np.asarray(combs),
+            np.asarray(rejects, np.int32), resets)
+
+
 # ----------------------------------------------------------------------------
 # z -> x -> u (AA on (u, x)) — admm_anderson_hard_zxu/src/Solver.cpp:34-234
 # ----------------------------------------------------------------------------
@@ -594,15 +699,19 @@ def step_zxu(system: PhysicsSystem, x, v, pin_pos):
 def _detect_self_contacts(colliders, x, idx):
     """Detect penetrations of vertices `idx` against every dynamic collider
     at positions x; return per-vertex (active, deformed contact point,
-    deformed outward normal). First collider hit wins (the reference keeps
-    one payload per vertex, Collider.hpp:159-210)."""
+    deformed outward normal) plus a spatial-hash overflow flag (True means
+    candidate truncation — contacts may be missing and the caller must
+    escalate). First collider hit wins (the reference keeps one payload per
+    vertex, Collider.hpp:159-210)."""
     q = x[idx]
     P = q.shape[0]
     active = jnp.zeros((P,), bool)
     target = q
     normal = jnp.zeros((P, 3), x.dtype)
+    overflow = jnp.zeros((), bool)
     for dc in colliders:
-        h = dc.detect(q, x, query_ids=idx)
+        h, ovf = dc.detect_with_overflow(q, x, query_ids=idx)
+        overflow = overflow | ovf
         fv = dc.faces[h.face]                         # (P, 3) local ids
         tri_def = x[fv + dc.vert_offset]              # (P, 3, 3)
         tgt = jnp.einsum("pk,pkj->pj", h.barys, tri_def)
@@ -620,7 +729,7 @@ def _detect_self_contacts(colliders, x, idx):
         active = active | h.hit
         target = jnp.where(new[:, None], tgt, target)
         normal = jnp.where(new[:, None], nrm, normal)
-    return active, target, normal
+    return active, target, normal, overflow
 
 
 # ----------------------------------------------------------------------------
@@ -912,8 +1021,17 @@ class PhysicsSolver:
         (DynamicObject.hpp:65-68, Collider.hpp:152-212)."""
         i = self._selfcol_index
         b = self.system.batches[i]
-        active, target, normal = _detect_self_contacts(
-            tuple(self.dynamic_colliders), self._x_dev, b.idx)
+        while True:
+            active, target, normal, overflow = _detect_self_contacts(
+                tuple(self.dynamic_colliders), self._x_dev, b.idx)
+            if not bool(overflow):
+                break
+            # A spatial-hash bucket exceeded its candidate cap: contacts may
+            # have been silently dropped. Escalate — double the cap, or fall
+            # back to the exact dense collider once the cap stops being a
+            # win — and re-detect (exactness contract of the reference BVH,
+            # DynamicObject.hpp:65-118).
+            self._escalate_colliders()
         nb = dataclasses.replace(b, active=active,
                                  target=target.astype(b.target.dtype),
                                  normal=normal.astype(b.normal.dtype))
@@ -923,6 +1041,28 @@ class PhysicsSolver:
         batches[i] = nb
         self.system = dataclasses.replace(self.system,
                                           batches=tuple(batches))
+
+    def _escalate_colliders(self):
+        """Grow overflowing spatial-hash colliders (cap x2); swap to the
+        exact dense collider when the grown candidate window would scan a
+        comparable number of tets anyway."""
+        from ..ops.collider import DynamicTetCollider, HashGridTetCollider
+        out = []
+        for dc in self.dynamic_colliders:
+            if isinstance(dc, HashGridTetCollider):
+                new_cap = dc.cap * 2
+                if new_cap * 27 >= dc.tets.shape[0]:
+                    dc = DynamicTetCollider(tets=dc.tets, faces=dc.faces,
+                                            rest_verts=dc.rest_verts,
+                                            vert_offset=dc.vert_offset)
+                    if self.settings.verbose > 0:
+                        print("self-collision: hash overflow -> dense")
+                else:
+                    dc = dataclasses.replace(dc, cap=new_cap)
+                    if self.settings.verbose > 0:
+                        print(f"self-collision: hash overflow -> cap={new_cap}")
+            out.append(dc)
+        self.dynamic_colliders = out
 
     # Positions/velocities live on device between steps; host views are
     # fetched lazily (the accelerator transport can be slow per transfer,
@@ -982,23 +1122,32 @@ class PhysicsSolver:
             self.reset_num += int(trace.reset_count)
 
     def step_instrumented(self):
-        """One xzu timestep with per-phase RuntimeData accumulation
-        (RuntimeData::print parity, Solver.cpp:551-564). Slower than step()
-        (host loop, one dispatch per phase) but yields the reference's
-        global/local/acceleration/initialization breakdown."""
+        """One timestep with per-phase RuntimeData accumulation
+        (RuntimeData::print parity, Solver.cpp:551-564; zxu timing blocks in
+        admm_anderson_hard_zxu/src/Solver.cpp). Slower than step() (host
+        loop, one dispatch per phase) but yields the reference's
+        global/local/acceleration/initialization breakdown. Works for both
+        update orders."""
         assert self.initialized
-        if self.order != UpdateOrder.XZU:
-            raise NotImplementedError("instrumented mode: xzu only for now")
-        x_new, v_new, prims, combs, resets = step_xzu_instrumented(
-            self.system, jnp.asarray(self.x), jnp.asarray(self.v),
-            jnp.asarray(self.pin_pos), self.runtime)
+        if self._selfcol_index is not None:
+            self._refresh_self_contacts()
+        if self.order == UpdateOrder.XZU:
+            x_new, v_new, prims, combs, resets = step_xzu_instrumented(
+                self.system, jnp.asarray(self.x), jnp.asarray(self.v),
+                jnp.asarray(self.pin_pos), self.runtime)
+            rejects = np.zeros(len(prims), np.int32)
+        else:
+            x_new, v_new, prims, combs, rejects, resets = \
+                step_zxu_instrumented(
+                    self.system, jnp.asarray(self.x), jnp.asarray(self.v),
+                    jnp.asarray(self.pin_pos), self.runtime)
         self.x = np.asarray(x_new)
         self.v = np.asarray(v_new)
         t0 = self.step_times[-1] if self.step_times else 0.0
         for i in range(len(prims)):
             self.step_prim.append(float(prims[i]))
             self.step_comb.append(float(combs[i]))
-            self.step_reject.append(0)
+            self.step_reject.append(int(rejects[i]))
             self.step_times.append(t0 + self.runtime.step_time[i]
                                    if i < len(self.runtime.step_time) else t0)
         self.reset_num += resets

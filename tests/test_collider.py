@@ -137,3 +137,26 @@ def test_hash_grid_matches_dense():
                                atol=1e-12)
     np.testing.assert_allclose(np.asarray(d.normal), np.asarray(h.normal),
                                atol=1e-12)
+
+
+def test_hash_grid_overflow_flag():
+    """detect_with_overflow must report candidate truncation: with every
+    tet forced into one bucket (n_buckets=1) and a tiny cap, the flag fires
+    and hits may be missed; with a sufficient cap it stays False and the
+    result matches the dense collider."""
+    from aa_admm_tpu.ops.collider import HashGridTetCollider
+
+    mesh = make_tet_blocks(3, 1, 1)
+    x_all = jnp.asarray(mesh.verts)
+    q = jnp.asarray(mesh.verts * 0.9 + 0.03)
+    small = HashGridTetCollider.create(mesh.verts, mesh.tets,
+                                       n_buckets=1, cap=2)
+    _, ovf = small.detect_with_overflow(q, x_all)
+    assert bool(ovf)
+
+    big = HashGridTetCollider.create(mesh.verts, mesh.tets,
+                                     n_buckets=1, cap=len(mesh.tets))
+    h, ovf2 = big.detect_with_overflow(q, x_all)
+    assert not bool(ovf2)
+    d = DynamicTetCollider.create(mesh.verts, mesh.tets).detect(q, x_all)
+    assert np.array_equal(np.asarray(d.hit), np.asarray(h.hit))
