@@ -57,6 +57,13 @@ class Settings:
     linear_solver: str = "auto"          # auto | dense | cg
     cg_tol: float = 1e-12
     cg_max_iters: int = 400
+    # Residual-timestamp fidelity: 0 = one fused scan per step (fastest;
+    # per-iteration times in result/residual-*.txt are spread uniformly
+    # over the measured step). k > 0 = dispatch the ADMM loop in timed
+    # chunks of k iterations, so the artifact's time column is measured at
+    # chunk granularity (k=1 reproduces the reference's per-iteration
+    # timestamps, Solver.hpp:126-151, at the cost of per-iter dispatch).
+    trace_chunk: int = 0
 
     def parse_args(self, argv) -> bool:
         """Parse reference-style flags. Returns True if help was requested

@@ -250,24 +250,33 @@ class StepTrace(NamedTuple):
 # x -> z -> u (AA on z) — admm_anderson_xzu/src/Solver.cpp:34-263
 # ----------------------------------------------------------------------------
 
-@jax.jit
-def step_xzu(system: PhysicsSystem, x, v, pin_pos):
-    dt = system.dt
+def _xzu_setup(system: PhysicsSystem, x, v, pin_pos):
+    """Prediction + ADMM initialization for the xzu order
+    (Solver.cpp:84-117: z = F(xbar); one x-solve; one z-prox).
+    Returns (carry, consts) — the scan state plus the per-step constants
+    (M xbar, pin-embedding blocks, base positions) the loop body closes
+    over. Split out of step_xzu so the scan can be dispatched in timed
+    chunks (honest per-iteration residual timestamps, Solver.hpp:126-151)."""
     v, xbar_full, base_full = _predict(system, x, v, pin_pos)
     M_xbar_free = system.masses[system.free_idx, None] * xbar_full[system.free_idx]
     c_blocks = system.deform(base_full)  # F_b of the pin embedding (= -C/w)
 
-    # ADMM init (Solver.cpp:84-117): z = F(xbar); one x-solve; one z-prox.
     z = system.deform(xbar_full)
     u = _tmap(jnp.zeros_like, z)
     x_full = _solve_x(system, M_xbar_free, z, u, c_blocks, base_full)
     z = _update_z(system, x_full, u)
     aa0 = anderson.init(system.anderson_m, _flatten(z))
 
-    init = dict(x=x_full, z=z, u=u, dx=x_full, dz=z, du=u,
-                prev=jnp.asarray(1e20, x.dtype), aa=aa0,
-                done=jnp.asarray(False), resets=jnp.zeros((), jnp.int32))
+    carry = dict(x=x_full, z=z, u=u, dx=x_full, dz=z, du=u,
+                 prev=jnp.asarray(1e20, x.dtype), aa=aa0,
+                 done=jnp.asarray(False), resets=jnp.zeros((), jnp.int32))
+    consts = dict(M=M_xbar_free, c=c_blocks, base=base_full)
+    return carry, consts
 
+
+def _xzu_body(system: PhysicsSystem, consts):
+    """One xzu ADMM iteration as a lax.scan body (Solver.cpp:120-250)."""
+    M_xbar_free, c_blocks, base_full = consts["M"], consts["c"], consts["base"]
     accel = system.accel
 
     def body(carry, _):
@@ -348,11 +357,26 @@ def step_xzu(system: PhysicsSystem, x, v, pin_pos):
                      jnp.where(rec_valid, comb, jnp.nan),
                      rejected.astype(jnp.int32) * rec_valid.astype(jnp.int32))
 
-    carry, (prims, combs, rejects) = jax.lax.scan(
-        body, init, None, length=system.admm_iters)
+    return body
 
-    x_new = carry["x"]  # xzu commits curr_x (Solver.cpp:255-257)
-    v_new = (x_new - x) / dt
+
+def _commit_x(system: PhysicsSystem, carry):
+    """The position state the reference commits after the ADMM loop:
+    xzu commits curr_x (Solver.cpp:255-257); accelerated zxu commits
+    default_x, not the AA-mixed x (zxu Solver.cpp:216-223)."""
+    if system.order == "zxu" and system.accel:
+        return carry["dx"]
+    return carry["x"]
+
+
+@jax.jit
+def step_xzu(system: PhysicsSystem, x, v, pin_pos):
+    carry, consts = _xzu_setup(system, x, v, pin_pos)
+    carry, (prims, combs, rejects) = jax.lax.scan(
+        _xzu_body(system, consts), carry, None, length=system.admm_iters)
+
+    x_new = _commit_x(system, carry)
+    v_new = (x_new - x) / system.dt
     n_valid = jnp.sum(~jnp.isnan(prims))
     return x_new, v_new, StepTrace(prims, combs, rejects, n_valid,
                                    carry["resets"])
@@ -587,31 +611,39 @@ def step_zxu_instrumented(system: PhysicsSystem, x, v, pin_pos,
 # z -> x -> u (AA on (u, x)) — admm_anderson_hard_zxu/src/Solver.cpp:34-234
 # ----------------------------------------------------------------------------
 
-@jax.jit
-def step_zxu(system: PhysicsSystem, x, v, pin_pos):
-    dt = system.dt
+def _flat_ux(u, xf):
+    return jnp.concatenate([_flatten(u), xf.ravel()])
+
+
+def _zxu_setup(system: PhysicsSystem, x, v, pin_pos):
+    """Prediction + init sweep for the zxu order (zxu Solver.cpp:97-125:
+    z-prox, x-solve, u-update). Returns (carry, consts) — see _xzu_setup."""
     v, xbar_full, base_full = _predict(system, x, v, pin_pos)
     M_xbar_free = system.masses[system.free_idx, None] * xbar_full[system.free_idx]
     c_blocks = system.deform(base_full)
 
-    # Init sweep (zxu Solver.cpp:97-125): z-prox, x-solve, u-update.
     u = tuple(jnp.zeros_like(zb) for zb in system.deform(xbar_full))
     z = _update_z(system, xbar_full, u)
     x_full = _solve_x(system, M_xbar_free, z, u, c_blocks, base_full)
     u = system.constrain_elems(_tmap(jnp.add, u, _prim_vec(system, x_full, z)))
 
-    def flat_ux(u, xf):
-        return jnp.concatenate([_flatten(u), xf.ravel()])
-
     xf0 = x_full[system.free_idx]
     zu_size = sum(int(np.prod(t.shape)) for t in u)
-    aa0 = anderson.init(max(system.anderson_m, 1), flat_ux(u, xf0),
+    aa0 = anderson.init(max(system.anderson_m, 1), _flat_ux(u, xf0),
                         effective_dim=zu_size)
 
-    init = dict(x=x_full, z=z, u=u, dx=x_full, du=u,
-                prev=jnp.asarray(1e20, x.dtype), aa=aa0,
-                done=jnp.asarray(False), resets=jnp.zeros((), jnp.int32))
+    carry = dict(x=x_full, z=z, u=u, dx=x_full, du=u,
+                 prev=jnp.asarray(1e20, x.dtype), aa=aa0,
+                 done=jnp.asarray(False), resets=jnp.zeros((), jnp.int32))
+    consts = dict(M=M_xbar_free, c=c_blocks, base=base_full)
+    return carry, consts
+
+
+def _zxu_body(system: PhysicsSystem, consts):
+    """One zxu ADMM iteration as a lax.scan body (zxu Solver.cpp:128-212)."""
+    M_xbar_free, c_blocks, base_full = consts["M"], consts["c"], consts["base"]
     accel = system.accel
+    flat_ux = _flat_ux
 
     def body(carry, _):
         cx, cz, cu = carry["x"], carry["z"], carry["u"]
@@ -684,12 +716,40 @@ def step_zxu(system: PhysicsSystem, x, v, pin_pos):
                      jnp.where(rec_valid, comb, jnp.nan),
                      rejected.astype(jnp.int32) * rec_valid.astype(jnp.int32))
 
-    carry, (prims, combs, rejects) = jax.lax.scan(
-        body, init, None, length=system.admm_iters)
+    return body
 
-    # Accelerated runs commit default_x, not the AA-mixed x (Solver.cpp:216-223).
-    x_new = carry["dx"] if accel else carry["x"]
-    v_new = (x_new - x) / dt
+
+@jax.jit
+def step_zxu(system: PhysicsSystem, x, v, pin_pos):
+    carry, consts = _zxu_setup(system, x, v, pin_pos)
+    carry, (prims, combs, rejects) = jax.lax.scan(
+        _zxu_body(system, consts), carry, None, length=system.admm_iters)
+
+    x_new = _commit_x(system, carry)
+    v_new = (x_new - x) / system.dt
+    n_valid = jnp.sum(~jnp.isnan(prims))
+    return x_new, v_new, StepTrace(prims, combs, rejects, n_valid,
+                                   carry["resets"])
+
+
+# ---- chunked dispatch (measured per-iteration residual timestamps) ----
+
+@jax.jit
+def _step_setup(system: PhysicsSystem, x, v, pin_pos):
+    setup = _xzu_setup if system.order == "xzu" else _zxu_setup
+    return setup(system, x, v, pin_pos)
+
+
+@partial(jax.jit, static_argnames=("length",))
+def _step_scan_chunk(system: PhysicsSystem, carry, consts, length: int):
+    factory = _xzu_body if system.order == "xzu" else _zxu_body
+    return jax.lax.scan(factory(system, consts), carry, None, length=length)
+
+
+@jax.jit
+def _step_commit(system: PhysicsSystem, carry, x0, prims, combs, rejects):
+    x_new = _commit_x(system, carry)
+    v_new = (x_new - x0) / system.dt
     n_valid = jnp.sum(~jnp.isnan(prims))
     return x_new, v_new, StepTrace(prims, combs, rejects, n_valid,
                                    carry["resets"])
@@ -762,6 +822,9 @@ class PhysicsSolver:
         self._x_host: Optional[np.ndarray] = None
         self._v_host: Optional[np.ndarray] = None
         self._pending_traces: List[StepTrace] = []
+        # Per queued trace: None (fused step — uniform time spread) or
+        # (chunk_size, cumulative-ms boundaries) measured by _step_chunked.
+        self._pending_times: List[Optional[tuple]] = []
         self.settings = Settings()
         self.initialized = False
         # residual history across steps (for save())
@@ -996,11 +1059,18 @@ class PhysicsSolver:
         if self._selfcol_index is not None:
             self._refresh_self_contacts()
         t = MicroTimer()
-        fn = step_xzu if self.order == UpdateOrder.XZU else step_zxu
-        x_new, v_new, trace = fn(self.system,
-                                 self._x_dev, self._v_dev,
-                                 jnp.asarray(self.pin_pos))
-        x_new.block_until_ready()
+        if self.settings.trace_chunk > 0:
+            x_new, v_new, trace, bounds = self._step_chunked(
+                int(self.settings.trace_chunk))
+            self._pending_times.append((int(self.settings.trace_chunk),
+                                        bounds))
+        else:
+            fn = step_xzu if self.order == UpdateOrder.XZU else step_zxu
+            x_new, v_new, trace = fn(self.system,
+                                     self._x_dev, self._v_dev,
+                                     jnp.asarray(self.pin_pos))
+            x_new.block_until_ready()
+            self._pending_times.append(None)
         elapsed = t.elapsed_ms()
         self._x_dev = x_new
         self._v_dev = v_new
@@ -1012,6 +1082,37 @@ class PhysicsSolver:
             print(f"step: {elapsed:.2f}ms, "
                   f"reset number = {int(trace.reset_count)}")
         return trace
+
+    def _step_chunked(self, chunk: int):
+        """The same ADMM step as the fused scan, dispatched in timed chunks
+        of `chunk` iterations so the residual artifact's time column is
+        measured (chunk boundaries) instead of interpolated — the fidelity
+        of the reference's per-iteration timestamps (Solver.hpp:126-151)
+        at a controllable dispatch cost. Returns (x, v, trace, bounds) with
+        bounds = cumulative ms at [init, chunk1, chunk2, ...]."""
+        x0 = self._x_dev
+        t = MicroTimer()
+        carry, consts = _step_setup(self.system, x0, self._v_dev,
+                                    jnp.asarray(self.pin_pos))
+        jax.block_until_ready(carry["x"])
+        bounds = [t.elapsed_ms()]
+        self.runtime.initialization_ms += bounds[0]
+        outs = []
+        done = 0
+        iters = self.system.admm_iters
+        while done < iters:
+            k = min(chunk, iters - done)
+            carry, ys = _step_scan_chunk(self.system, carry, consts,
+                                         length=k)
+            jax.block_until_ready(carry["x"])
+            bounds.append(t.elapsed_ms())
+            outs.append(ys)
+            done += k
+        prims, combs, rejects = (jnp.concatenate([o[i] for o in outs])
+                                 for i in range(3))
+        x_new, v_new, trace = _step_commit(self.system, carry, x0,
+                                           prims, combs, rejects)
+        return x_new, v_new, trace, bounds
 
     def _refresh_self_contacts(self):
         """Run dynamic-collider detection at the current positions and
@@ -1107,19 +1208,41 @@ class PhysicsSolver:
                   for i in range(n)]
         self._pending_traces = []
         times = self.runtime.step_time[-len(traces):]
-        for trace, elapsed in zip(traces, times):
+        measured = self._pending_times[-len(traces):]
+        self._pending_times = []
+        for trace, elapsed, meas in zip(traces, times, measured):
             prim = np.asarray(trace.prim)
             comb = np.asarray(trace.comb)
             rej = np.asarray(trace.reject)
             valid = ~np.isnan(prim)
-            per_iter = elapsed / max(1, self.system.admm_iters)
+            iter_t = self._iter_times(elapsed, meas)
             t0 = self.step_times[-1] if self.step_times else 0.0
             for i in np.nonzero(valid)[0]:
                 self.step_prim.append(float(prim[i]))
                 self.step_comb.append(float(comb[i]))
                 self.step_reject.append(int(rej[i]))
-                self.step_times.append(t0 + (i + 1) * per_iter)
+                self.step_times.append(t0 + iter_t[i])
             self.reset_num += int(trace.reset_count)
+
+    def _iter_times(self, elapsed, measured):
+        """Per-iteration cumulative ms within one step. Fused steps
+        (measured=None) spread the step wall-time uniformly; chunked steps
+        interpolate only inside each measured chunk, so timestamps are
+        real at chunk boundaries (exact per-iteration with trace_chunk=1,
+        matching the reference's Solver.hpp:126-151)."""
+        iters = self.system.admm_iters
+        if measured is None:
+            per = elapsed / max(1, iters)
+            return [(i + 1) * per for i in range(iters)]
+        chunk, bounds = measured
+        ts = []
+        for i in range(iters):
+            j = i // chunk
+            k_j = min(chunk, iters - j * chunk)
+            r = i - j * chunk
+            lo, hi = bounds[j], bounds[j + 1]
+            ts.append(lo + (r + 1) / k_j * (hi - lo))
+        return ts
 
     def step_instrumented(self):
         """One timestep with per-phase RuntimeData accumulation
