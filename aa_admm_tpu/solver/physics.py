@@ -825,6 +825,9 @@ class PhysicsSolver:
         # Per queued trace: None (fused step — uniform time spread) or
         # (chunk_size, cumulative-ms boundaries) measured by _step_chunked.
         self._pending_times: List[Optional[tuple]] = []
+        # Mid-step ADMM state loaded via load_admm_state; consumed by the
+        # next step() (Solver::load replay, Solver.hpp:153-215).
+        self._admm_seed = None
         self.settings = Settings()
         self.initialized = False
         # residual history across steps (for save())
@@ -1059,7 +1062,11 @@ class PhysicsSolver:
         if self._selfcol_index is not None:
             self._refresh_self_contacts()
         t = MicroTimer()
-        if self.settings.trace_chunk > 0:
+        if self._admm_seed is not None:
+            x_new, v_new, trace = self._step_seeded(self._admm_seed)
+            self._admm_seed = None
+            self._pending_times.append(None)
+        elif self.settings.trace_chunk > 0:
             x_new, v_new, trace, bounds = self._step_chunked(
                 int(self.settings.trace_chunk))
             self._pending_times.append((int(self.settings.trace_chunk),
@@ -1113,6 +1120,113 @@ class PhysicsSolver:
         x_new, v_new, trace = _step_commit(self.system, carry, x0,
                                            prims, combs, rejects)
         return x_new, v_new, trace, bounds
+
+    # ---- mid-step ADMM state dump / restore (Solver.hpp:153-215) ----
+    #
+    # Flat layout: z/u/last_z are the element blocks concatenated in batch
+    # order, row-major within each block; x is all vertex positions
+    # row-major. The text format matches the reference's ::load (file 1 =
+    # "n" then rows "z u last_z"; file 2 = "n" then rows of x).
+
+    def save_admm_state(self, file_zu: str, file_x: str,
+                        at_iteration: int = 0):
+        """Run one timestep, dumping the mid-step ADMM state after
+        `at_iteration` ADMM iterations as reference-compatible 16-digit
+        text. The step still completes all admm_iters iterations and
+        commits exactly like step(). A solver seeded with the dump via
+        load_admm_state (admm_iters = remaining iterations) replays the
+        tail of this step."""
+        from ..core.checkpoint import save_admm_state_text
+        assert self.initialized
+        if self._selfcol_index is not None:
+            self._refresh_self_contacts()
+        t = MicroTimer()
+        x0 = self._x_dev
+        carry, consts = _step_setup(self.system, x0, self._v_dev,
+                                    jnp.asarray(self.pin_pos))
+        k = int(at_iteration)
+        iters = self.system.admm_iters
+        assert 0 <= k <= iters
+        outs = []
+        if k:
+            carry, ys = _step_scan_chunk(self.system, carry, consts,
+                                         length=k)
+            outs.append(ys)
+        last_z = carry["dz"] if "dz" in carry else carry["z"]
+        save_admm_state_text(file_zu, file_x,
+                             np.asarray(_flatten(carry["z"])),
+                             np.asarray(_flatten(carry["u"])),
+                             np.asarray(_flatten(last_z)),
+                             np.asarray(carry["x"]))
+        if iters - k:
+            carry, ys = _step_scan_chunk(self.system, carry, consts,
+                                         length=iters - k)
+            outs.append(ys)
+        prims, combs, rejects = (jnp.concatenate([o[i] for o in outs])
+                                 for i in range(3))
+        x_new, v_new, trace = _step_commit(self.system, carry, x0,
+                                           prims, combs, rejects)
+        x_new.block_until_ready()
+        self._finish_step(x_new, v_new, trace, t.elapsed_ms())
+        return trace
+
+    def load_admm_state(self, file_zu: str, file_x: str):
+        """Load a mid-step ADMM dump; the NEXT step() starts its ADMM loop
+        from the loaded (z, u, last_z, x) instead of the init sweep,
+        running the configured admm_iters further iterations (AA restarts
+        — the mixing history is not part of the reference dump either).
+        Raises ValueError on size mismatch, like the reference."""
+        from ..core.checkpoint import load_admm_state_text
+        assert self.initialized
+        z, u, last_z, x = load_admm_state_text(file_zu, file_x)
+        n_blocks = sum(int(np.prod(b.shape))
+                       for b in self.system.deform(
+                           jnp.zeros((self.system.n_verts, 3))))
+        if z.size != n_blocks:
+            raise ValueError("Error: invalid number or values")
+        if x.size != self.system.n_verts * 3:
+            raise ValueError("Error: invalid number or values from file 2")
+        self._admm_seed = (z, u, last_z, x)
+
+    def _step_seeded(self, seed):
+        """One timestep whose ADMM loop starts from a loaded mid-step
+        state. consts (prediction, pin embedding) still come from the
+        current (x, v) — identical to the step the dump was taken from
+        when (x, v) match."""
+        zf, uf, lzf, xf = seed
+        x0 = self._x_dev
+        carry, consts = _step_setup(self.system, x0, self._v_dev,
+                                    jnp.asarray(self.pin_pos))
+        dtype = carry["x"].dtype
+        zt = _unflatten(jnp.asarray(zf, dtype), carry["z"])
+        ut = _unflatten(jnp.asarray(uf, dtype), carry["u"])
+        lzt = _unflatten(jnp.asarray(lzf, dtype), carry["z"])
+        x_full = jnp.asarray(xf, dtype).reshape(self.system.n_verts, 3)
+        carry = dict(carry, x=x_full, z=zt, u=ut, dx=x_full, du=ut)
+        if "dz" in carry:
+            carry["dz"] = lzt
+            aa = anderson.init(self.system.anderson_m, _flatten(zt))
+        else:
+            zu_size = sum(int(np.prod(t.shape)) for t in ut)
+            aa = anderson.init(max(self.system.anderson_m, 1),
+                               _flat_ux(ut, x_full[self.system.free_idx]),
+                               effective_dim=zu_size)
+        carry["aa"] = aa
+        carry, (prims, combs, rejects) = _step_scan_chunk(
+            self.system, carry, consts, length=self.system.admm_iters)
+        return _step_commit(self.system, carry, x0, prims, combs, rejects)
+
+    def _finish_step(self, x_new, v_new, trace, elapsed_ms):
+        self._x_dev = x_new
+        self._v_dev = v_new
+        self._x_host = None
+        self._v_host = None
+        self._pending_traces.append(trace)
+        self._pending_times.append(None)
+        self.runtime.step_time.append(elapsed_ms)
+        if self.settings.verbose > 0:
+            print(f"step: {elapsed_ms:.2f}ms, "
+                  f"reset number = {int(trace.reset_count)}")
 
     def _refresh_self_contacts(self):
         """Run dynamic-collider detection at the current positions and

@@ -158,3 +158,57 @@ def test_aa_accelerates_contraction():
         x = np.asarray(xj)
     err_aa = np.linalg.norm(x - x_star)
     assert err_aa < err_plain * 1e-3
+
+
+def test_solve_theta_rank_deficient_f32_vs_cod_oracle():
+    """VERDICT r1 item 10: _solve_theta's relative eigh cutoff at a
+    near-rank-deficient window in f32 vs the f64 minimum-norm (COD-like)
+    oracle (Geometry/AndersonAcceleration.h:193-196). The f32 solve must
+    stay finite, solve the normal equations about as well as the oracle,
+    and not blow up along the null space."""
+    rng = np.random.default_rng(11)
+    d, m, r = 48, 6, 3
+    C = rng.normal(size=(d, r)) @ rng.normal(size=(r, m))  # rank r < m
+    C[:, 3] = C[:, 0] * (1.0 + 1e-7)                       # near-duplicate
+    F = rng.normal(size=d)
+    M64 = C.T @ C
+    rhs64 = C.T @ F
+    th_oracle = np.linalg.lstsq(M64, rhs64, rcond=None)[0]
+
+    from aa_admm_tpu.solver.anderson import _solve_theta
+    valid = jnp.ones(m, bool)
+    th32 = np.asarray(_solve_theta(jnp.asarray(M64, jnp.float32),
+                                   jnp.asarray(rhs64, jnp.float32),
+                                   valid), np.float64)
+    assert np.isfinite(th32).all()
+    scale = np.linalg.norm(rhs64)
+    r_ours = np.linalg.norm(M64 @ th32 - rhs64)
+    r_best = np.linalg.norm(M64 @ th_oracle - rhs64)
+    assert r_ours <= r_best + 1e-3 * scale
+    assert np.linalg.norm(th32) <= 2.0 * np.linalg.norm(th_oracle) + 1e-3
+
+
+def test_aa_f32_duplicate_columns_stays_stable():
+    """End-to-end f32 AA on a fixed-point map with duplicated coordinates:
+    the update differences are exactly linearly dependent, so the window
+    Gram matrix is singular every step. The accelerated f32 iteration must
+    stay finite and still converge (tracked against the f64 oracle run)."""
+    d = 12
+    fmap64, A, b = _fixed_point_map(5, d // 2)
+
+    def fmap(x):  # duplicate the state: x = [y, y]
+        y = fmap64(x[: d // 2])
+        return np.concatenate([y, y])
+
+    x_star = np.linalg.solve(np.eye(d // 2) - A, b)
+
+    for dtype in (jnp.float64, jnp.float32):
+        x = jnp.zeros(d, dtype)
+        st = anderson.init(5, x)
+        for _ in range(60):
+            g = jnp.asarray(fmap(np.asarray(x, np.float64)), dtype)
+            st, x = anderson.compute(st, g)
+            assert bool(jnp.isfinite(x).all()), dtype
+        err = np.abs(np.asarray(x[: d // 2], np.float64) - x_star).max()
+        tol = 1e-8 if dtype == jnp.float64 else 1e-3
+        assert err < tol, (dtype, err)

@@ -170,3 +170,43 @@ def test_f32_no_dtype_leak_with_all_obstacle_types():
     solver.step()
     assert solver.x.dtype == np.float32
     assert np.all(np.isfinite(solver.x))
+
+
+def test_dense_pcg_threshold_boundary():
+    """The auto dense<->PCG switch (PhysicsSolver.dense_threshold) must be
+    trajectory-neutral: the same scene solved just under (dense) and just
+    over (CG) the boundary produces equal residual trajectories to CG
+    tolerance — the exactness contract of the reference's pluggable
+    LinearSolver (admm_anderson_xzu/src/LinearSolver.hpp:36-92)."""
+    mesh = make_tet_blocks(4, 2, 2)
+    min_x = mesh.verts[:, 0].min() + 1e-3
+    pins = [i for i, v in enumerate(mesh.verts) if v[0] < min_x]
+    n_free = len(mesh.verts) - len(pins)
+
+    def build(threshold):
+        s = Settings()
+        s.admm_iters = 25
+        s.verbose = 0
+        s.linear_solver = "auto"
+        s.cg_tol = 1e-12
+        solver = PhysicsSolver(dense_threshold=threshold)
+        solver.add_tetmesh(mesh.verts, mesh.tets,
+                           Lame.from_young_poisson(1e6, 0.35))
+        solver.set_pins(pins)
+        solver.initialize(s)
+        return solver
+
+    dense = build(n_free)       # nf <= threshold -> dense inverse
+    cg = build(n_free - 1)      # nf >  threshold -> PCG
+    assert dense.system.solver is not None
+    assert cg.system.solver is None
+    td = dense.step()
+    tc = cg.step()
+    assert np.allclose(dense.x, cg.x, rtol=1e-8, atol=1e-10)
+    # equal trajectories to CG tolerance: tight relative match with an
+    # absolute floor ~1e-8 x initial residual for the decayed tail, where
+    # the 1e-12 CG tolerance noise is amplified by the residual decay
+    assert np.allclose(np.asarray(td.prim), np.asarray(tc.prim),
+                       rtol=1e-6, atol=1e-8)
+    assert np.allclose(np.asarray(td.comb), np.asarray(tc.comb),
+                       rtol=1e-5, atol=1e-8, equal_nan=True)

@@ -1,0 +1,67 @@
+"""Mid-step ADMM state dump/restore wired into PhysicsSolver (VERDICT r1
+item 8): save_admm_state dumps (z, u, last_z, x) mid-step in the
+reference's 16-digit text format (admm_anderson_xzu/src/Solver.hpp:153-215)
+and a solver seeded via load_admm_state replays the tail of that step."""
+
+import numpy as np
+import pytest
+
+from aa_admm_tpu.core.config import AccelType, Lame, Settings
+from aa_admm_tpu.core.factory import make_tet_blocks
+from aa_admm_tpu.solver.physics import PhysicsSolver, UpdateOrder
+
+
+def _mk(order, iters, accel=False):
+    mesh = make_tet_blocks(3, 2, 2)
+    s = Settings()
+    s.admm_iters = iters
+    s.verbose = 0
+    if accel:
+        s.acceleration_type = AccelType.ANDERSON
+        s.anderson_m = 4
+    solver = PhysicsSolver(order=order)
+    solver.add_tetmesh(mesh.verts, mesh.tets,
+                       Lame.from_young_poisson(1e6, 0.3))
+    solver.set_pins([0, 1])
+    solver.initialize(s)
+    return solver
+
+
+@pytest.mark.parametrize("order", [UpdateOrder.XZU, UpdateOrder.ZXU])
+def test_dump_restore_replays_step_tail(order, tmp_path):
+    N, k = 20, 8
+    f_zu, f_x = str(tmp_path / "zu.txt"), str(tmp_path / "x.txt")
+
+    a = _mk(order, N)
+    a.step()
+
+    b = _mk(order, N)
+    b.save_admm_state(f_zu, f_x, at_iteration=k)
+    # the dumping step still commits the full N-iteration step
+    np.testing.assert_array_equal(a.x, b.x)
+
+    c = _mk(order, N - k)
+    c.load_admm_state(f_zu, f_x)
+    c.step()
+    # continuation from the text dump matches the uninterrupted run to
+    # the 16-digit round-trip precision
+    np.testing.assert_allclose(c.x, a.x, rtol=0, atol=1e-11)
+
+
+def test_load_rejects_size_mismatch(tmp_path):
+    f_zu, f_x = str(tmp_path / "zu.txt"), str(tmp_path / "x.txt")
+    a = _mk(UpdateOrder.XZU, 5)
+    a.save_admm_state(f_zu, f_x, at_iteration=2)
+
+    bigger = _mk(UpdateOrder.XZU, 5)
+    # same topology class but a different mesh size -> size mismatch
+    mesh = make_tet_blocks(4, 2, 2)
+    s = Settings()
+    s.admm_iters = 5
+    s.verbose = 0
+    bigger = PhysicsSolver(order=UpdateOrder.XZU)
+    bigger.add_tetmesh(mesh.verts, mesh.tets, Lame.rubber())
+    bigger.set_pins([0])
+    bigger.initialize(s)
+    with pytest.raises(ValueError):
+        bigger.load_admm_state(f_zu, f_x)
