@@ -75,10 +75,12 @@ def optimize_mesh(mesh: PolyMesh, ref_verts, ref_faces, max_iter: int,
                   anderson_m: int, penalty_parameter: float = 1e5,
                   closeness_weight: float = 1.0,
                   laplacian_weight: float = 0.0,
-                  relative_laplacian_weight: float = 0.1):
+                  relative_laplacian_weight: float = 0.1,
+                  dtype=np.float64):
     """PlanarityOpt.cpp optimize_mesh (:134-287)."""
     p = mesh.verts
     solver = ALMGeometrySolver()
+    solver.dtype = np.dtype(dtype)
 
     if closeness_weight > 0:
         solver.add_soft_constraint(RefSurfaceBatch.create(

@@ -139,7 +139,7 @@ def optimize_mesh(mesh: PolyMesh, ref_verts, ref_faces, max_iter, anderson_m,
     return solver
 
 
-def main(argv=None, dtype=np.float64):
+def main(argv=None, dtype=np.float64, return_solver=False):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 4:
         print("Usage: wire_mesh_opt IN_POLY REF_TRI OPTIONS OUT_MESH")
@@ -186,6 +186,8 @@ def main(argv=None, dtype=np.float64):
     np.savetxt("result/ref_wiremeshErrBefore.txt", r_b, fmt="%.16g")
     np.savetxt("result/ref_wiremeshErrAfter.txt", r_a, fmt="%.16g")
     save_obj(out_path, out, sub_mesh.faces)
+    if return_solver:
+        return solver
     return 0
 
 

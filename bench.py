@@ -1,11 +1,28 @@
-"""Benchmark driver: beams (the reference's testAndersonADMM scene) on the
-available accelerator. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""Benchmark driver: the full BASELINE.md scene matrix on the available
+accelerator. Prints ONE JSON line:
 
-Metric: fused ADMM iterations/second on the beams scene (3x 12x3x3 tet-block
-beams, Linear/NeoHookean/StVK, 100 iterations/step, Anderson m=5).
-vs_baseline compares against the OpenMP C++ reference measured on this
-host's CPU when a recorded baseline exists (BASELINE_local.json), else 1.0.
+  {"metric": "suite_geomean_speedup", "value": G, "unit": "x",
+   "vs_baseline": G, "scenes": {...per-scene numbers...}}
+
+Scenes (BASELINE.md / SURVEY.md section 6; C++ OpenMP baselines measured on
+this host in BASELINE_local.json):
+  beams      xzu,  3 tet beams, 100 iters/step, AA m=5   -> iters/s
+  windyflag  zxu,  cloth + wind + strain limits, 100 it  -> iters/s
+  plinkohit  zxu,  horse759 on plane+half-sphere, 13 it  -> iters/s
+  plinkopony zxu,  horse759 through cylinder pegs, 13 it -> iters/s
+  costa2k    ALM planarity (PlanarityOpt), 100 iters     -> solve seconds
+  wiremesh   ALM wire mesh (MaleTorso, 57,840 verts)     -> solve seconds
+
+vs_baseline per scene = (our iters/s / C++ iters/s) or (C++ s / our s);
+the aggregate is the geometric mean over the scenes run. Golden-trajectory
+parity of every scene is pinned separately in tests/, so equal-work
+speedups here are also time-to-tolerance speedups; beams additionally
+reports a measured (chunk-timed) time to combined residual < 1e-6.
+
+Env:
+  AAADMM_BENCH_SCENES  comma list (default: all six)
+  AAADMM_PLATFORM      cpu to force CPU (TPU otherwise, via axon)
+  AAADMM_DTYPE         float32 (default) | float64
 """
 
 import json
@@ -15,63 +32,182 @@ import time
 
 import numpy as np
 
+REF = "/root/reference/Geometry/Geometry_model"
+
+
+def _settings(iters, accel=True, m=5):
+    from aa_admm_tpu.core.config import AccelType, Settings
+    s = Settings()
+    s.admm_iters = iters
+    s.verbose = 0
+    if accel:
+        s.acceleration_type = AccelType.ANDERSON
+        s.anderson_m = m
+    s.collect_comb_residual = True
+    s.dtype = np.dtype(os.environ.get("AAADMM_DTYPE", "float32"))
+    return s
+
+
+def _timed_steps(solver, n_steps, pre=None):
+    # Warmup: compile + first device->host fetch (tunneled transports pay a
+    # large one-time latency on the first readback; keep it out of timing).
+    if pre:
+        pre()
+    tr = solver.step()
+    _ = np.asarray(tr.reset_count)
+    solver.flush_traces()
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        if pre:
+            pre()
+        solver.step()
+    elapsed = time.perf_counter() - t0
+    solver.flush_traces()
+    assert solver.step_prim and all(p == p for p in solver.step_prim), \
+        "non-finite residuals"
+    return elapsed
+
+
+def bench_beams():
+    from aa_admm_tpu.apps.beams import build_scene
+    s = _settings(100)
+    solver, stretch = build_scene(s)
+    n_steps = 10
+    elapsed = _timed_steps(solver, n_steps,
+                           pre=lambda: stretch(s.timestep_s))
+    out = {"iters_per_s": round(n_steps * s.admm_iters / elapsed, 3)}
+    # Measured time-to-tolerance (combined residual < 1e-5 x initial) with
+    # honest chunk-boundary timestamps on one more step.
+    solver.settings.trace_chunk = 10
+    n0 = len(solver.step_comb)
+    stretch(s.timestep_s)
+    solver.step()
+    solver.flush_traces()
+    comb = np.asarray(solver.step_comb[n0:])
+    t = np.asarray(solver.step_times[n0:])
+    t = t - (solver.step_times[n0 - 1] if n0 else 0.0)
+    hit = np.nonzero(comb < 1e-5 * comb[0])[0]
+    if hit.size:
+        out["tt_comb_rel1e-5_ms"] = round(float(t[hit[0]]), 3)
+    return out, "beams_iters_per_s", out["iters_per_s"]
+
+
+def _zxu_scene(build, iters, n_steps):
+    s = _settings(iters)
+    solver = build(s)
+    elapsed = _timed_steps(solver, n_steps)
+    return {"iters_per_s": round(n_steps * iters / elapsed, 3)}
+
+
+def bench_windyflag():
+    from aa_admm_tpu.apps.windyflag import build_scene
+    out = _zxu_scene(build_scene, 100, 10)
+    return out, "windyflag_iters_per_s", out["iters_per_s"]
+
+
+def bench_plinkohit():
+    from aa_admm_tpu.apps.plinkohit import build_scene
+    out = _zxu_scene(build_scene, 13, 30)
+    return out, "plinkohit_iters_per_s", out["iters_per_s"]
+
+
+def bench_plinkopony():
+    from aa_admm_tpu.apps.plinkopony import build_scene
+    out = _zxu_scene(build_scene, 13, 30)
+    return out, "plinkopony_iters_per_s", out["iters_per_s"]
+
+
+def bench_costa2k():
+    from aa_admm_tpu.apps.planarity_opt import (check_planarity_error,
+                                                optimize_mesh)
+    from aa_admm_tpu.core.meshio import load_obj, load_obj_poly
+    from aa_admm_tpu.core.polymesh import PolyMesh
+    verts, faces = load_obj_poly(f"{REF}/PQMeshData/polymesh/costa2k_poly.obj")
+    mesh = PolyMesh(verts=verts, faces=faces)
+    ref = load_obj(f"{REF}/PQMeshData/trimesh/costa2k_tri.obj")
+    dtype = np.dtype(os.environ.get("AAADMM_DTYPE", "float32"))
+    solver = optimize_mesh(mesh, ref.verts, ref.faces, 100, 5, dtype=dtype)
+    solve_s = solver.elapsed_time[-1] if solver.elapsed_time else float("inf")
+    pl_after, _ = check_planarity_error(mesh, solver.get_solution())
+    return ({"solve_s": round(float(solve_s), 3),
+             "planarity_err_max": float(np.max(pl_after))},
+            "costa2k_planarity_100iters_s", float(solve_s))
+
+
+def bench_wiremesh():
+    from aa_admm_tpu.apps import wire_mesh_opt as w
+    import tempfile
+    opts = os.path.join(tempfile.gettempdir(), "bench_wire_opts.txt")
+    with open(opts, "w") as f:
+        f.write("Iterations 100\nAndersonM 5\nPenalty 1000\n")
+    # chunked dispatch: a single multi-minute TPU dispatch can exceed the
+    # tunnel's execution window (CLAUDE.md); 25-iteration chunks also give
+    # measured residual timestamps.
+    os.environ.setdefault("AAADMM_GEO_CHUNK", "25")
+    dtype = np.dtype(os.environ.get("AAADMM_DTYPE", "float32"))
+    solver = w.main([f"{REF}/WireMeshData/MaleTorso.obj",
+                     f"{REF}/WireMeshData/MaleTorso_target.obj",
+                     opts, os.path.join(tempfile.gettempdir(),
+                                        "bench_wire_out.obj")],
+                    dtype=dtype, return_solver=True)
+    solve_s = solver.elapsed_time[-1] if solver.elapsed_time else float("inf")
+    return ({"solve_s": round(float(solve_s), 3)},
+            "maletorso_wiremesh_100iters_s", float(solve_s))
+
+
+SCENES = {
+    "beams": bench_beams,
+    "windyflag": bench_windyflag,
+    "plinkohit": bench_plinkohit,
+    "plinkopony": bench_plinkopony,
+    "costa2k": bench_costa2k,
+    "wiremesh": bench_wiremesh,
+}
+
+# baseline keys measured in seconds: speedup = baseline / ours
+_TIME_METRICS = {"costa2k_planarity_100iters_s",
+                 "maletorso_wiremesh_100iters_s"}
+
 
 def main():
     os.environ.setdefault("AAADMM_DTYPE", "float32")
     platform = os.environ.get("AAADMM_PLATFORM")
     if platform:
-        # The axon plugin force-selects its platform; this must be overridden
-        # at the config level, not via JAX_PLATFORMS.
+        # The axon plugin force-selects its platform; this must be
+        # overridden at the config level, not via JAX_PLATFORMS.
         import jax
         jax.config.update("jax_platforms", platform)
-    from aa_admm_tpu.core.config import AccelType, Settings
-    from aa_admm_tpu.apps.beams import build_scene
 
-    settings = Settings()
-    settings.admm_iters = 100
-    settings.verbose = 0
-    settings.acceleration_type = AccelType.ANDERSON
-    settings.anderson_m = 5
-    settings.collect_comb_residual = True
-    settings.dtype = np.dtype(os.environ.get("AAADMM_DTYPE", "float32"))
+    wanted = os.environ.get("AAADMM_BENCH_SCENES")
+    names = ([n.strip() for n in wanted.split(",") if n.strip()]
+             if wanted else list(SCENES))
 
-    solver, stretch = build_scene(settings)
-
-    # Warmup (compile) + first device->host fetch (some transports pay a
-    # large one-time latency on the first readback; keep it out of timing).
-    stretch(settings.timestep_s)
-    tr = solver.step()
-    _ = np.asarray(tr.reset_count)
-    solver.flush_traces()
-
-    n_steps = 10
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        stretch(settings.timestep_s)
-        solver.step()
-    elapsed = time.perf_counter() - t0
-
-    iters_per_s = n_steps * settings.admm_iters / elapsed
-
-    # Outside the timed window: fetch traces and sanity-check convergence.
-    solver.flush_traces()
-    assert solver.step_prim and all(
-        p == p for p in solver.step_prim), "non-finite residuals"
-
-    vs_baseline = 1.0
-    base_path = os.path.join(os.path.dirname(__file__), "BASELINE_local.json")
+    base_path = os.path.join(os.path.dirname(__file__),
+                             "BASELINE_local.json")
+    base = {}
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        ref = base.get("beams_iters_per_s")
-        if ref:
-            vs_baseline = iters_per_s / ref
 
+    scenes, speedups = {}, []
+    for name in names:
+        out, key, value = SCENES[name]()
+        ref = base.get(key)
+        if ref:
+            ratio = (ref / value) if key in _TIME_METRICS else (value / ref)
+            out["vs_baseline"] = round(ratio, 3)
+            speedups.append(ratio)
+        scenes[name] = out
+        print(f"# {name}: {out}", file=sys.stderr, flush=True)
+
+    geomean = (float(np.exp(np.mean(np.log(speedups))))
+               if speedups else 1.0)
     print(json.dumps({
-        "metric": "beams_admm_iters_per_s",
-        "value": round(iters_per_s, 3),
-        "unit": "iters/s",
-        "vs_baseline": round(vs_baseline, 3),
+        "metric": "suite_geomean_speedup",
+        "value": round(geomean, 3),
+        "unit": "x_vs_cpp",
+        "vs_baseline": round(geomean, 3),
+        "scenes": scenes,
     }))
 
 
