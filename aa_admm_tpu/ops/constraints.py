@@ -54,6 +54,30 @@ def hostarr(b, name):
     return np.asarray(getattr(b, name))
 
 
+def cast_floats(batch, dtype):
+    """Copy of a (frozen, registered-dataclass) batch with every floating
+    array field cast to `dtype`. The f64 `_host` NumPy mirrors are carried
+    over unchanged: setup-time assembly and the delta-form `transform_host`
+    anchors keep full precision, while the device arrays entering jitted
+    loop bodies match the solve dtype (a single f64 leaf poisons every
+    downstream carry under x64 mode)."""
+    dtype = np.dtype(dtype)
+    kw = {}
+    for f in dataclasses.fields(batch):
+        v = getattr(batch, f.name)
+        if (isinstance(v, (jax.Array, np.ndarray))
+                and jnp.issubdtype(v.dtype, jnp.floating)
+                and v.dtype != dtype):
+            kw[f.name] = v.astype(dtype)
+    if not kw:
+        return batch
+    out = dataclasses.replace(batch, **kw)
+    h = getattr(batch, "_host", None)
+    if h is not None:
+        object.__setattr__(out, "_host", h)
+    return out
+
+
 def _pad_rows(rows, pad_val=0):
     k = max(len(r) for r in rows)
     out = np.full((len(rows), k), pad_val, np.int32)

@@ -466,6 +466,12 @@ class ALMGeometrySolver:
     def setup_ADMM(self, n_points: int, penalty_param: float,
                    linear_solver: str = "auto") -> bool:
         t = MicroTimer()
+        # Batches are created at f64 by the apps; cast their device arrays
+        # to the solve dtype (f64 host mirrors kept for assembly/anchors) so
+        # no f64 leaf reaches the jitted accept/reject loop under f32.
+        from ..ops.constraints import cast_floats
+        self.hard = [cast_floats(b, self.dtype) for b in self.hard]
+        self.soft = [cast_floats(b, self.dtype) for b in self.soft]
         reg = None
         rhs_fixed = np.zeros((n_points, 3))
         if self.reg_rows:
@@ -512,9 +518,10 @@ class ALMGeometrySolver:
         if reg is not None and not use_dense:
             idx, coef, mask = reg
             target = np.stack([t for _, _, t in self.reg_rows])
-            reg_struct = RegRows(idx=jnp.asarray(idx), coef=jnp.asarray(coef),
+            reg_struct = RegRows(idx=jnp.asarray(idx),
+                                 coef=jnp.asarray(coef.astype(self.dtype)),
                                  mask=jnp.asarray(mask),
-                                 target=jnp.asarray(target))
+                                 target=jnp.asarray(target.astype(self.dtype)))
         self.system = GeometrySystem(
             hard=tuple(self.hard), soft=tuple(self.soft),
             solver=solver, precond_diag=precond, mg=mg, ell=ell,

@@ -70,7 +70,9 @@ class WindForce:
     def apply(self, dt, x, v, n_verts):
         f = self.faces
         curr_v = jnp.mean(v[f], axis=1)                       # (F, 3)
-        v_r = curr_v - self.direction
+        # Cast, don't promote: a f64 direction must not leak f64 into the
+        # f32 scan carry (it poisons prev/prim downstream).
+        v_r = curr_v - self.direction.astype(v.dtype)
         e1 = x[f[:, 1]] - x[f[:, 0]]
         e2 = x[f[:, 2]] - x[f[:, 0]]
         n = jnp.cross(e1, e2)
@@ -931,9 +933,10 @@ class PhysicsSolver:
             getattr(self.sdf_builder, f"add_{kind}")(**kw)
 
     def set_wind(self, faces, direction, alpha_n: float = 1000.0):
+        dtype = np.dtype(self.settings.dtype)
         self.wind = WindForce(
             faces=jnp.asarray(np.asarray(faces, np.int32).reshape(-1, 3)),
-            direction=jnp.asarray(np.asarray(direction, np.float64)),
+            direction=jnp.asarray(np.asarray(direction, dtype)),
             alpha_n=alpha_n)
 
     def _all_verts(self) -> np.ndarray:
@@ -1031,7 +1034,10 @@ class PhysicsSolver:
             batches=tuple(batches),
             solver=solver,
             precond_diag=precond,
-            wind=self.wind,
+            # Re-cast: set_wind may have been called before the final
+            # settings dtype was known.
+            wind=(None if self.wind is None else dataclasses.replace(
+                self.wind, direction=self.wind.direction.astype(dtype))),
             n_verts=n, n_free=nf,
             order=self.order.value,
             dt=float(s.timestep_s), gravity=float(s.gravity),
