@@ -101,7 +101,7 @@ def optimize_mesh(mesh: PolyMesh, ref_verts, ref_faces, max_iter, anderson_m,
                   penalty_parameter=1000.0, min_angle_radian=np.pi * 0.25,
                   max_angle_radian=np.pi * 0.75, edge_length=1.0,
                   closeness_weight=1.0, laplacian_weight=-1.0,
-                  dtype=np.float64, result_dir="result"):
+                  dtype=np.float64, result_dir="result", chunk_iters=None):
     """WireMeshOpt.cpp optimize_mesh (:232-337)."""
     p = mesh.verts
     solver = ALMGeometrySolver()
@@ -134,12 +134,13 @@ def optimize_mesh(mesh: PolyMesh, ref_verts, ref_faces, max_iter, anderson_m,
     print(f"Relative residual eps (normalized by edge length): {eps_ratio}")
 
     if solver.setup_ADMM(mesh.n_verts(), penalty_parameter):
-        solver.solve_ADMM(p, rel_residual_eps, max_iter, anderson_m)
+        solver.solve_ADMM(p, rel_residual_eps, max_iter, anderson_m,
+                          chunk_iters=chunk_iters)
         solver.save(anderson_m, result_dir)
     return solver
 
 
-def main(argv=None, dtype=np.float64, return_solver=False):
+def main(argv=None, dtype=np.float64, return_solver=False, chunk_iters=None):
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 4:
         print("Usage: wire_mesh_opt IN_POLY REF_TRI OPTIONS OUT_MESH")
@@ -164,7 +165,7 @@ def main(argv=None, dtype=np.float64, return_solver=False):
     solver = optimize_mesh(sub_mesh, ref.verts, ref.faces, params.iterations,
                            params.anderson_m, edge_length=edge_length,
                            min_angle_radian=min_a, max_angle_radian=max_a,
-                           dtype=dtype)
+                           dtype=dtype, chunk_iters=chunk_iters)
     if solver is None:
         return 1
     out = solver.get_solution()
@@ -187,6 +188,16 @@ def main(argv=None, dtype=np.float64, return_solver=False):
     np.savetxt("result/ref_wiremeshErrAfter.txt", r_a, fmt="%.16g")
     save_obj(out_path, out, sub_mesh.faces)
     if return_solver:
+        # After-optimization error surface for the bench's quality gate
+        # (the C++ prints these tables as its correctness surface,
+        # WireMeshOpt.cpp:102-182).
+        solver.after_metrics = {
+            "edge_err_max": float(np.max(e_a)),
+            "edge_err_avg": float(np.mean(e_a)),
+            "angle_err_max": float(np.max(a_a)),
+            "angle_err_avg": float(np.mean(a_a)),
+            "ref_dist_max": float(np.max(r_a)),
+        }
         return solver
     return 0
 
