@@ -197,3 +197,51 @@ def dryrun(n_devices: int) -> None:
     assert bool(jnp.all(jnp.isfinite(xz)))
     assert bool(jnp.all(jnp.isfinite(trace_z.prim)))
     _assert_elem_constraints(step_zxu, system_z, args_z)
+
+    # ---- numeric parity: sharded vs unsharded, both orders (f64) ----
+    # This makes the multichip artifact certify math, not just compilation:
+    # the same step on the n-device mesh must reproduce the single-device
+    # trajectory to f64 roundoff (the collectives GSPMD inserts — psums for
+    # residual norms / AA inner products, gathers for the scatter — must be
+    # value-neutral).
+    import time as _time
+    for order in ("xzu", "zxu"):
+        solver64, s64 = build_tiny_scene(order, dtype="float64")
+        fn = step_xzu if order == "xzu" else step_zxu
+        args64 = (jnp.asarray(solver64.x), jnp.asarray(solver64.v),
+                  jnp.asarray(solver64.pin_pos))
+        ref_fn = jax.jit(fn)
+        x_ref, v_ref, tr_ref = ref_fn(solver64.system, *args64)
+        x_ref.block_until_ready()
+        mesh1 = make_mesh(n_devices, prefer_dp=1)
+        sys_sh = shard_system(solver64.system, mesh1)
+        sh_fn = jax.jit(fn)
+        x_sh, v_sh, tr_sh = sh_fn(sys_sh, *args64)
+        x_sh.block_until_ready()
+        dx = float(jnp.max(jnp.abs(x_sh - x_ref)))
+        pr, ps = np.asarray(tr_ref.prim), np.asarray(tr_sh.prim)
+        valid = ~(np.isnan(pr) | np.isnan(ps))
+        dprim = float(np.max(np.abs(pr[valid] - ps[valid]))) if valid.any() \
+            else 0.0
+        assert dx < 1e-10, f"{order}: sharded-vs-unsharded max|dx| = {dx}"
+        assert dprim < 1e-8, f"{order}: sharded-vs-unsharded dprim = {dprim}"
+
+        # Overhead canary (not a perf claim): virtual-mesh collective cost
+        # per step, plus the psum count in the lowered module — a regression
+        # tripwire for collective bloat (SURVEY.md section 7.2.6).
+        def _rate(f, sys_):
+            t0 = _time.perf_counter()
+            reps = 5
+            for _ in range(reps):
+                out = f(sys_, *args64)
+            jax.block_until_ready(out[0])
+            return reps * s64.admm_iters / (_time.perf_counter() - t0)
+        r1, rn = _rate(ref_fn, solver64.system), _rate(sh_fn, sys_sh)
+        # Collective count must come from the POST-partitioning HLO (the
+        # pre-SPMD stablehlo has no collectives yet).
+        hlo = sh_fn.lower(sys_sh, *args64).compile().as_text()
+        n_psum = hlo.count("all-reduce")
+        print(f"dryrun[{order}]: sharded-vs-unsharded max|dx|={dx:.3e} "
+              f"max|dprim|={dprim:.3e}; iters/s 1dev={r1:.1f} "
+              f"{n_devices}dev={rn:.1f} (virtual CPU mesh, overhead canary); "
+              f"all-reduces in module={n_psum}", flush=True)

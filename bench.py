@@ -250,10 +250,14 @@ def main():
         with open(base_path) as f:
             base = json.load(f)
 
+    import contextlib
     scenes, speedups = {}, []
     for name in names:
         try:
-            out, key, value, quality_ok = SCENES[name]()
+            # Library narration (solver prints) must not pollute the
+            # one-JSON-line stdout contract.
+            with contextlib.redirect_stdout(sys.stderr):
+                out, key, value, quality_ok = SCENES[name]()
             out["quality_ok"] = quality_ok
             ref = base.get(key)
             if ref:

@@ -49,9 +49,9 @@ def _check(solver, tr, residual_golden, x_golden, rtol=1e-6, xtol=1e-7):
     assert rel_p.max() < rtol, f"primal rel err {rel_p}"
     assert rel_c.max() < rtol, f"combined rel err {rel_c}"
     # reject pattern must match the reference's is_reject column
-    if hasattr(tr, "is_reject") and getattr(tr, "is_reject") is not None:
-        rej = np.asarray(tr.is_reject).astype(int)
-        np.testing.assert_array_equal(rej, cpp[:, 3].astype(int))
+    # (admm_anderson_hard_zxu/src/Solver.hpp:148, the 4th residual column)
+    rej = np.asarray(tr.reject).astype(int)
+    np.testing.assert_array_equal(rej, cpp[:, 3].astype(int))
 
     xref = np.loadtxt(os.path.join(GOLDEN_DIR, x_golden)).reshape(-1, 3)
     x = np.asarray(solver.x).reshape(-1, 3)
