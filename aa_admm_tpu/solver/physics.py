@@ -757,6 +757,27 @@ def _step_commit(system: PhysicsSystem, carry, x0, prims, combs, rejects):
                                    carry["resets"])
 
 
+@partial(jax.jit, static_argnames=("n_frames",))
+def run_frames(system: PhysicsSystem, x, v, pin_pos, n_frames: int):
+    """n_frames full timesteps as ONE device dispatch (outer lax.scan over
+    frames, inner scan over ADMM iterations). For small scenes the per-step
+    dispatch + host-sync cost dominates TPU time (the tunnel pays a round
+    trip per step); fusing the whole rollout keeps the simulation on device
+    end to end. Valid when nothing host-side changes between frames: static
+    pins (pin_pos constant), no per-frame callbacks, no dynamic/self
+    collision re-detection. Returns (x, v, traces) with trace arrays
+    stacked (n_frames, iters)."""
+    step = step_xzu if system.order == "xzu" else step_zxu
+
+    def body(carry, _):
+        cx, cv = carry
+        xn, vn, tr = step(system, cx, cv, pin_pos)
+        return (xn, vn), tr
+
+    (xf, vf), traces = jax.lax.scan(body, (x, v), None, length=n_frames)
+    return xf, vf, traces
+
+
 @jax.jit
 def _detect_self_contacts(colliders, x, idx):
     """Detect penetrations of vertices `idx` against every dynamic collider
@@ -1095,6 +1116,34 @@ class PhysicsSolver:
             print(f"step: {elapsed:.2f}ms, "
                   f"reset number = {int(trace.reset_count)}")
         return trace
+
+    def run(self, n_frames: int):
+        """n_frames timesteps as ONE fused device dispatch (run_frames):
+        the TPU-first rollout driver for scenes with no per-frame host work
+        (static pins, no self-collision refresh, no ADMM seed, no chunked
+        tracing). Equivalent to n_frames step() calls; per-step dispatch
+        and host-sync latency is paid once instead of per frame."""
+        assert self.initialized
+        assert self._selfcol_index is None, \
+            "self-collision needs per-frame host re-detection — use step()"
+        assert self._admm_seed is None and self.settings.trace_chunk == 0
+        t = MicroTimer()
+        xf, vf, traces = run_frames(self.system, self._x_dev, self._v_dev,
+                                    jnp.asarray(self.pin_pos), int(n_frames))
+        xf.block_until_ready()
+        elapsed = t.elapsed_ms()
+        self._x_dev, self._v_dev = xf, vf
+        self._x_host = self._v_host = None
+        th = jax.device_get(traces)  # one batched fetch for all frames
+        for i in range(int(n_frames)):
+            self._pending_traces.append(
+                jax.tree_util.tree_map(lambda a: a[i], th))
+            self._pending_times.append(None)
+            self.runtime.step_time.append(elapsed / n_frames)
+        if self.settings.verbose > 0:
+            print(f"run({n_frames}): {elapsed:.2f}ms total, "
+                  f"{elapsed / n_frames:.2f}ms/step")
+        return traces
 
     def _step_chunked(self, chunk: int):
         """The same ADMM step as the fused scan, dispatched in timed chunks

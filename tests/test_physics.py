@@ -210,3 +210,25 @@ def test_dense_pcg_threshold_boundary():
                        rtol=1e-6, atol=1e-8)
     assert np.allclose(np.asarray(td.comb), np.asarray(tc.comb),
                        rtol=1e-5, atol=1e-8, equal_nan=True)
+
+
+def test_run_frames_matches_stepwise():
+    """run(n) — the fused multi-frame rollout — must reproduce n sequential
+    step() calls: same final state, same residual history (same compiled
+    step body, so differences are at most fusion-level roundoff)."""
+    a, _ = _small_beam_solver(order=UpdateOrder.ZXU, accel=True, iters=10)
+    b, _ = _small_beam_solver(order=UpdateOrder.ZXU, accel=True, iters=10)
+    for _ in range(4):
+        a.step()
+    b.run(4)
+    a.flush_traces()
+    b.flush_traces()
+    np.testing.assert_allclose(b.x, a.x, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(b.v, a.v, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(b.step_prim, a.step_prim, rtol=1e-12)
+    np.testing.assert_allclose(b.step_comb, a.step_comb, rtol=1e-12)
+    assert b.step_reject == a.step_reject
+    # and it composes with step(): continue stepwise after a fused rollout
+    a.step()
+    b.step()
+    np.testing.assert_allclose(b.x, a.x, rtol=0, atol=1e-12)

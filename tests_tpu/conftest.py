@@ -16,6 +16,12 @@ import os
 
 import pytest
 
+if os.environ.get("AAADMM_TPU_FORCE_CPU") == "1":
+    # Smoke-test the suite's logic without claiming the accelerator
+    # (bounds are calibrated for f32 — platform-independent).
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 def pytest_collection_modifyitems(config, items):
     if os.environ.get("AAADMM_TPU_TESTS") != "1":
