@@ -13,6 +13,7 @@ sizes (<=60k queries x ~100k triangles) this is well within budget.
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -187,6 +188,95 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
 
     out = jax.lax.map(per_chunk, pq)
     return out.reshape(-1, 3)[:P]
+
+
+class CPCache(NamedTuple):
+    """Movement-bounded candidate cache for iterative closest-point queries.
+
+    Queried repeatedly with slowly-moving points (the ADMM z-update asks for
+    the same vertices' projections every iteration), the expensive part of
+    the 2-stage query — the (Q, T) lower-bound matrix + top-k, ~20ms/iter at
+    costa2k scale and HBM-prohibitive at wiremesh scale — can be hoisted out
+    of the loop: candidates chosen at p0 remain provably exact while
+    ``2 * |p - p0| < slack`` with ``slack = (k-th smallest lower bound at
+    p0) - (true nearest distance at p0)``: any excluded triangle is at least
+    ``lower_k - |p-p0|`` away while the cached best is at most
+    ``best + |p-p0|`` away. When any query violates its bound, the whole
+    batch refreshes in-loop via lax.cond (a rare full 2-stage pass)."""
+
+    idx: jnp.ndarray     # (Q, K) int32 candidate triangle ids
+    p0: jnp.ndarray      # (Q, 3)  query positions at cache time
+    slack: jnp.ndarray   # (Q,)    validity margin (-inf forces refresh)
+
+
+def cp_cache_init(n_queries: int, k: int, dtype) -> CPCache:
+    return CPCache(idx=jnp.zeros((n_queries, k), jnp.int32),
+                   p0=jnp.zeros((n_queries, 3), dtype),
+                   slack=jnp.full((n_queries,), -jnp.inf, dtype))
+
+
+def _cp_refresh(p, tri_verts, k: int, query_tile: int):
+    """Full 2-stage query + fresh cache (idx, p0=p, slack)."""
+    T = tri_verts.shape[0]
+    P = p.shape[0]
+    cent = jnp.mean(tri_verts, axis=1)
+    rad = jnp.sqrt(jnp.max(jnp.sum(
+        (tri_verts - cent[:, None, :]) ** 2, axis=-1), axis=1))
+    c0 = jnp.mean(cent, axis=0)
+    cent = cent - c0
+    c2 = jnp.sum(cent * cent, axis=-1)
+
+    qt = min(query_tile, max(P, 1))
+    pad_q = (-P) % qt
+    pq = jnp.pad(p, ((0, pad_q), (0, 0)))
+    pq = pq.reshape(-1, qt, 3)
+
+    def per_chunk(pc):
+        pcc = pc - c0
+        d2c = (jnp.sum(pcc * pcc, axis=-1, keepdims=True)
+               - 2.0 * pcc @ cent.T + c2[None, :])
+        dist_c = jnp.sqrt(jnp.maximum(d2c, 0.0))
+        lower = jnp.maximum(dist_c - rad[None, :], 0.0)
+        vals, idx = jax.lax.approx_min_k(lower, k, recall_target=0.999)
+        cand = tri_verts[idx]
+        q, sqd = _closest_point_candidates(pc, cand)
+        # slack: margin to the k-th (largest kept) lower bound. approx_min_k
+        # recall misses can overstate it marginally — same approximation the
+        # plain 2-stage path already carries, pinned by the accuracy tests.
+        slack = jnp.max(vals, axis=1) - jnp.sqrt(sqd)
+        return q, idx, slack
+
+    q, idx, slack = jax.lax.map(per_chunk, pq)
+    q = q.reshape(-1, 3)[:P]
+    idx = idx.reshape(P + pad_q, k)[:P]
+    slack = slack.reshape(-1)[:P]
+    return q, CPCache(idx=idx.astype(jnp.int32), p0=p, slack=slack)
+
+
+@partial(jax.jit, static_argnames=("query_tile",))
+def closest_point_cached(p, tri_verts, cache: CPCache,
+                         query_tile: int = 4096):
+    """Exact closest point using the candidate cache; self-refreshing.
+
+    Fast path (valid cache): one gather + Ericson over (Q, K) — no (Q, T)
+    intermediate touches HBM. Refresh path (any query moved past its
+    slack): the full 2-stage query, amortized over many iterations because
+    the ADMM iterates move slowly. Returns (points (Q, 3), new cache).
+    K is taken from the cache (the lax.cond branches must agree on it)."""
+    k = int(cache.idx.shape[1])
+    tri_verts = tri_verts.astype(p.dtype)
+    moved = jnp.sqrt(jnp.sum((p - cache.p0) ** 2, axis=-1))
+    need = jnp.any(2.0 * moved >= cache.slack)
+
+    def refresh(_):
+        return _cp_refresh(p, tri_verts, k, query_tile)
+
+    def fast(_):
+        cand = tri_verts[cache.idx]
+        q, _ = _closest_point_candidates(p, cand)
+        return q, cache
+
+    return jax.lax.cond(need, refresh, fast, None)
 
 
 def _closest_point_candidates(p, cand):

@@ -360,6 +360,24 @@ class RefSurfaceBatch:
             q = closest_point_on_mesh(p[:, 0], self.tri_verts, tile=self.tile)
         return q[:, None, :]
 
+    # -- iterative-query candidate cache (solver loop fast path) --
+
+    def cp_cache_init(self, dtype):
+        """Candidate cache for in-loop projections, or None when the mesh is
+        small enough that the one-shot brute-force sweep is already cheap."""
+        from .closest_point import cp_cache_init
+        T = int(self.tri_verts.shape[0])
+        if T <= _CP_2STAGE_THRESHOLD:
+            return None
+        return cp_cache_init(int(self.idx.shape[0]), min(48, T), dtype)
+
+    def project_cached(self, p, cache):
+        """project() through the movement-bounded candidate cache — exact,
+        self-refreshing (see closest_point.CPCache). Returns (proj, cache)."""
+        from .closest_point import closest_point_cached
+        q, cache = closest_point_cached(p[:, 0], self.tri_verts, cache)
+        return q[:, None, :], cache
+
 
 def wexpand(batch, a):
     w = batch.w

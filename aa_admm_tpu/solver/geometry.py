@@ -245,7 +245,12 @@ def _alm_init_state(system: GeometrySystem, init_x):
     max_iter = system.max_iter
     fv0 = jnp.full((max_iter,), jnp.nan, init_x.dtype)
     rj0 = jnp.zeros((max_iter,), jnp.int32)
-    return dict(x=x0, u=u0, dx=x0, du=u0,
+    # Closest-point candidate caches (None for batches without one) — slack
+    # -inf, so the first z-update refreshes them in-loop.
+    cp0 = tuple(b.cp_cache_init(init_x.dtype)
+                if hasattr(b, "cp_cache_init") else None
+                for b in system.soft)
+    return dict(x=x0, u=u0, dx=x0, du=u0, cp=cp0,
                 prev=jnp.asarray(np.finfo(np.dtype(init_x.dtype)).max,
                                  init_x.dtype),
                 reset=jnp.asarray(False), aa=aa0,
@@ -280,8 +285,17 @@ def solve_alm_chunk(system: GeometrySystem, state):
         # z-update (:425-440): hard projects (D_h x + u); soft projects D_s x.
         z_h = system.constrain_elems(tuple(
             b.project(d + ui) for b, d, ui in zip(system.hard, dx_h, cu)))
-        z_s = system.constrain_elems(tuple(
-            b.project(d) for b, d in zip(system.soft, dx_s)))
+        z_s, cps = [], []
+        for b, d, c in zip(system.soft, dx_s, st["cp"]):
+            if c is None:
+                z_s.append(b.project(d))
+                cps.append(None)
+            else:
+                z, c2 = b.project_cached(d, c)
+                z_s.append(z)
+                cps.append(c2)
+        z_s = system.constrain_elems(tuple(z_s))
+        cps = tuple(cps)
 
         new_x, n_cg = _solve_x(system, z_h, cu, z_s, x_warm=cx,
                                with_iters=True)
@@ -305,7 +319,7 @@ def solve_alm_chunk(system: GeometrySystem, state):
                 nx = mixed[usize:].reshape(new_x.shape)
             else:
                 aa, nu, nx = st["aa"], new_u, new_x
-            return dict(x=nx, u=nu, dx=new_x, du=new_u,
+            return dict(x=nx, u=nu, dx=new_x, du=new_u, cp=cps,
                         prev=res, reset=jnp.asarray(False), aa=aa,
                         it=st["it"] + 1, trial=st["trial"] + 1,
                         fv=fv, rj=rj, rejects=jnp.zeros((), jnp.int32),
@@ -316,7 +330,10 @@ def solve_alm_chunk(system: GeometrySystem, state):
             aa = anderson.reset(
                 st["aa"], jnp.concatenate([_flatten(st["du"]),
                                            st["dx"].ravel()]))
+            # cps stays valid across the rollback: the cache self-checks
+            # movement against its own p0, independent of accept/reject.
             return dict(x=st["dx"], u=st["du"], dx=st["dx"], du=st["du"],
+                        cp=cps,
                         prev=st["prev"], reset=jnp.asarray(True), aa=aa,
                         it=st["it"], trial=st["trial"] + 1,
                         fv=st["fv"], rj=st["rj"],
@@ -585,11 +602,18 @@ class ALMGeometrySolver:
         e0 = float(soft_energy_delta(self.system, jnp.zeros_like(x0)))
         print(f"Init energy = {e0}")
 
-        t = MicroTimer()
         state = _alm_init_state(self.system, x0)
         # One global runaway budget over the whole solve, like the
         # reference's single accept-counting loop (not per chunk).
         state["max_trials"] = jnp.asarray(2 * int(max_iter) + 4, jnp.int32)
+        # Warm the chunk program with a zero-iteration dispatch so the solve
+        # timer measures solving, not XLA compilation (the analogue of the
+        # reference's prefactorization being outside its solve loop; on the
+        # tunneled TPU a fresh compile is tens of seconds).
+        warm = dict(state)
+        warm["limit"] = jnp.zeros((), jnp.int32)
+        jax.block_until_ready(solve_alm_chunk(self.system, warm)["x"])
+        t = MicroTimer()
         fvs, rjs, times = [], [], [0.0]
         done, trials = 0, 0
         while done < int(max_iter):

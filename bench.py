@@ -125,25 +125,43 @@ def _zxu_scene(build, iters, n_steps):
     out = {"iters_per_s": round(n_steps * iters / elapsed, 3)}
     ok, q = _physics_quality(solver, iters)
     out.update(q)
+    # Fused rollout (PhysicsSolver.run): the TPU-first driver — all
+    # n_steps frames in ONE dispatch, paying per-step dispatch/host-sync
+    # once. Same simulation work as the C++ step loop (pinned to the
+    # stepwise trajectory by tests/test_physics.py); warm the scan-length-
+    # specific compile first.
+    solver.run(n_steps)
+    solver.flush_traces()
+    t0 = time.perf_counter()
+    traces = solver.run(n_steps)
+    tf = time.perf_counter() - t0
+    solver.flush_traces()
+    out["iters_per_s_fused"] = round(n_steps * iters / tf, 3)
+    prim = np.asarray(traces.prim, np.float64)
+    ok = ok and bool(np.all(np.isfinite(prim[~np.isnan(prim)])))
     return out, ok
+
+
+def _zxu_value(out):
+    return max(out["iters_per_s"], out.get("iters_per_s_fused", 0.0))
 
 
 def bench_windyflag():
     from aa_admm_tpu.apps.windyflag import build_scene
     out, ok = _zxu_scene(build_scene, 100, 10)
-    return out, "windyflag_iters_per_s", out["iters_per_s"], ok
+    return out, "windyflag_iters_per_s", _zxu_value(out), ok
 
 
 def bench_plinkohit():
     from aa_admm_tpu.apps.plinkohit import build_scene
     out, ok = _zxu_scene(build_scene, 13, 30)
-    return out, "plinkohit_iters_per_s", out["iters_per_s"], ok
+    return out, "plinkohit_iters_per_s", _zxu_value(out), ok
 
 
 def bench_plinkopony():
     from aa_admm_tpu.apps.plinkopony import build_scene
     out, ok = _zxu_scene(build_scene, 13, 30)
-    return out, "plinkopony_iters_per_s", out["iters_per_s"], ok
+    return out, "plinkopony_iters_per_s", _zxu_value(out), ok
 
 
 def bench_costa2k():
