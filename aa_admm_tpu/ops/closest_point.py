@@ -272,8 +272,20 @@ def closest_point_cached(p, tri_verts, cache: CPCache,
         return _cp_refresh(p, tri_verts, k, query_tile)
 
     def fast(_):
-        cand = tri_verts[cache.idx]
-        q, _ = _closest_point_candidates(p, cand)
+        # Tiled like the refresh: at wiremesh scale the unchunked candidate
+        # gather would materialize (Q, K, 3, 3) = tens of GB at once.
+        P = p.shape[0]
+        qt = min(query_tile, max(P, 1))
+        pad_q = (-P) % qt
+        pq = jnp.pad(p, ((0, pad_q), (0, 0))).reshape(-1, qt, 3)
+        idx = jnp.pad(cache.idx, ((0, pad_q), (0, 0))).reshape(-1, qt, k)
+
+        def per_chunk(args):
+            pc, ic = args
+            q, _ = _closest_point_candidates(pc, tri_verts[ic])
+            return q
+
+        q = jax.lax.map(per_chunk, (pq, idx)).reshape(-1, 3)[:P]
         return q, cache
 
     return jax.lax.cond(need, refresh, fast, None)
