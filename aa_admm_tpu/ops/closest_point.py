@@ -190,6 +190,58 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
     return out.reshape(-1, 3)[:P]
 
 
+def build_tri_groups(tri_verts_np, group_size: int = 64):
+    """Host-side spatial grouping of a static triangle soup (Morton order)
+    for the hierarchical refresh: triangles sorted by the Z-order code of
+    their centroid and cut into contiguous groups of `group_size`, each
+    with an enclosing (center, radius) bound.
+
+    Returns (tri_perm (Tp,3,3), tri_cent (Tp,3), tri_rad (Tp,),
+    gcenter (G,3), gradius (G,)) with Tp = G*group_size; padded slots hold
+    far-away dummies (1e15) so distance tests exclude them naturally."""
+    import numpy as np
+    tv = np.asarray(tri_verts_np, np.float64)
+    T = tv.shape[0]
+    cent = tv.mean(1)
+    rad = np.sqrt(((tv - cent[:, None, :]) ** 2).sum(-1).max(1))
+    lo, hi = cent.min(0), cent.max(0)
+    q = np.clip((cent - lo) / np.maximum(hi - lo, 1e-30) * 1023.0,
+                0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+        x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+        x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+        x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+        x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+        return x
+
+    code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+        | (spread(q[:, 2]) << np.uint64(2))
+    perm = np.argsort(code, kind="stable")
+    G = -(-T // group_size)
+    Tp = G * group_size
+    FAR = 1e15
+    tri_p = np.full((Tp, 3, 3), FAR, tv.dtype)
+    cent_p = np.full((Tp, 3), FAR, tv.dtype)
+    rad_p = np.zeros((Tp,), tv.dtype)
+    tri_p[:T] = tv[perm]
+    cent_p[:T] = cent[perm]
+    rad_p[:T] = rad[perm]
+    cg = cent_p.reshape(G, group_size, 3)
+    valid = np.zeros((Tp,), bool)
+    valid[:T] = True
+    vg = valid.reshape(G, group_size)
+    nval = np.maximum(vg.sum(1), 1)[:, None]
+    gcenter = np.where(vg[..., None], cg, 0.0).sum(1) / nval
+    d = np.sqrt(((cg - gcenter[:, None, :]) ** 2).sum(-1)) \
+        + rad_p.reshape(G, group_size)
+    gradius = np.where(vg, d, 0.0).max(1)
+    # Empty-pad groups: push their center far out so stage 0 never picks them.
+    gcenter = np.where(vg.any(1)[:, None], gcenter, FAR)
+    return tri_p, cent_p, rad_p, gcenter, gradius
+
+
 class CPCache(NamedTuple):
     """Movement-bounded candidate cache for iterative closest-point queries.
 
@@ -251,6 +303,82 @@ def _cp_refresh(p, tri_verts, k: int, query_tile: int):
     idx = idx.reshape(P + pad_q, k)[:P]
     slack = slack.reshape(-1)[:P]
     return q, CPCache(idx=idx.astype(jnp.int32), p0=p, slack=slack)
+
+
+def _cp_refresh_hier(p, tri_verts, tri_cent, tri_rad, gcenter, gradius,
+                     k: int, n_groups: int, query_tile: int):
+    """Hierarchical 2-level refresh: group bounds -> per-triangle bounds on
+    the surviving groups -> exact Ericson on the top-k. Avoids the flat
+    (Q, T) lower-bound sweep (tens of GB of HBM traffic per refresh at
+    wiremesh scale, 230k queries x 40k triangles)."""
+    P = p.shape[0]
+    G = gcenter.shape[0]
+    S = tri_verts.shape[0] // G
+    qt = min(query_tile, max(P, 1))
+    pad_q = (-P) % qt
+    pq = jnp.pad(p, ((0, pad_q), (0, 0))).reshape(-1, qt, 3)
+    g = min(n_groups, G)
+
+    def per_chunk(pc):
+        # Stage 0: (q, G) group lower bounds, direct norm (no cancellation).
+        dg = jnp.sqrt(jnp.sum(
+            (pc[:, None, :] - gcenter[None]) ** 2, -1))         # (q, G)
+        lower_g = jnp.maximum(dg - gradius[None, :], 0.0)
+        _, gidx = jax.lax.top_k(-lower_g, g)                    # (q, g)
+        # Stage 1: exact per-triangle lower bounds on g*S candidates.
+        slots = (gidx[..., None] * S
+                 + jnp.arange(S, dtype=gidx.dtype)).reshape(pc.shape[0], -1)
+        cc = tri_cent[slots]                                    # (q, gS, 3)
+        rr = tri_rad[slots]
+        dt_ = jnp.sqrt(jnp.sum((pc[:, None, :] - cc) ** 2, -1))
+        lower = jnp.maximum(dt_ - rr, 0.0)                      # (q, gS)
+        vals, j = jax.lax.top_k(-lower, k)                      # (q, k)
+        idx = jnp.take_along_axis(slots, j, axis=1)             # (q, k)
+        cand = tri_verts[idx]
+        q, sqd = _closest_point_candidates(pc, cand)
+        slack = jnp.max(-vals, axis=1) - jnp.sqrt(sqd)
+        return q, idx, slack
+
+    q, idx, slack = jax.lax.map(per_chunk, pq)
+    return (q.reshape(-1, 3)[:P],
+            CPCache(idx=idx.reshape(-1, k)[:P].astype(jnp.int32), p0=p,
+                    slack=slack.reshape(-1)[:P]))
+
+
+@partial(jax.jit, static_argnames=("n_groups", "query_tile"))
+def closest_point_cached_hier(p, tri_verts, tri_cent, tri_rad, gcenter,
+                              gradius, cache: CPCache, n_groups: int = 32,
+                              query_tile: int = 4096):
+    """closest_point_cached with the hierarchical refresh (for batches that
+    carry host-built triangle groups — see build_tri_groups)."""
+    k = int(cache.idx.shape[1])
+    tri_verts = tri_verts.astype(p.dtype)
+    moved = jnp.sqrt(jnp.sum((p - cache.p0) ** 2, axis=-1))
+    need = jnp.any(2.0 * moved >= cache.slack)
+
+    def refresh(_):
+        return _cp_refresh_hier(p, tri_verts, tri_cent.astype(p.dtype),
+                                tri_rad.astype(p.dtype),
+                                gcenter.astype(p.dtype),
+                                gradius.astype(p.dtype),
+                                k, n_groups, query_tile)
+
+    def fast(_):
+        P = p.shape[0]
+        qt = min(query_tile, max(P, 1))
+        pad_q = (-P) % qt
+        pq = jnp.pad(p, ((0, pad_q), (0, 0))).reshape(-1, qt, 3)
+        idx = jnp.pad(cache.idx, ((0, pad_q), (0, 0))).reshape(-1, qt, k)
+
+        def per_chunk(args):
+            pc, ic = args
+            q, _ = _closest_point_candidates(pc, tri_verts[ic])
+            return q
+
+        q = jax.lax.map(per_chunk, (pq, idx)).reshape(-1, 3)[:P]
+        return q, cache
+
+    return jax.lax.cond(need, refresh, fast, None)
 
 
 @partial(jax.jit, static_argnames=("query_tile",))

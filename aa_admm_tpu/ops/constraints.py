@@ -326,6 +326,15 @@ class RefSurfaceBatch:
     idx: jnp.ndarray        # (C,)
     w: jnp.ndarray          # (C,)
     tri_verts: jnp.ndarray  # (T, 3, 3) reference surface triangles
+    # Host-built spatial groups for the hierarchical candidate-cache refresh
+    # (build_tri_groups; None for small meshes). grp_tris is Morton-permuted
+    # + far-padded to a multiple of the group size — a separate copy because
+    # the FAR pads would poison the plain 2-stage path's centered expansion.
+    grp_tris: Optional[jnp.ndarray] = None     # (Tp, 3, 3)
+    grp_cent: Optional[jnp.ndarray] = None     # (Tp, 3)
+    grp_rad: Optional[jnp.ndarray] = None      # (Tp,)
+    grp_gcenter: Optional[jnp.ndarray] = None  # (G, 3)
+    grp_gradius: Optional[jnp.ndarray] = None  # (G,)
     tile: int = _static(default=2048)
 
     @classmethod
@@ -336,8 +345,17 @@ class RefSurfaceBatch:
         rf = np.asarray(ref_faces, np.int64)
         idx_h = np.asarray(idx, np.int32)
         w = np.full(C, np.sqrt(weight), dtype)
+        grp = {}
+        if len(rf) > _CP_2STAGE_THRESHOLD:
+            from .closest_point import build_tri_groups
+            tp, cent, rad, gc, gr = build_tri_groups(rv[rf])
+            grp = dict(grp_tris=jnp.asarray(tp.astype(dtype)),
+                       grp_cent=jnp.asarray(cent.astype(dtype)),
+                       grp_rad=jnp.asarray(rad.astype(dtype)),
+                       grp_gcenter=jnp.asarray(gc.astype(dtype)),
+                       grp_gradius=jnp.asarray(gr.astype(dtype)))
         out = cls(idx=jnp.asarray(idx_h), w=jnp.asarray(w),
-                  tri_verts=jnp.asarray(rv[rf]), tile=tile)
+                  tri_verts=jnp.asarray(rv[rf]), tile=tile, **grp)
         return _host_mirror(out, idx=idx_h, w=w)
 
     @property
@@ -373,9 +391,17 @@ class RefSurfaceBatch:
 
     def project_cached(self, p, cache):
         """project() through the movement-bounded candidate cache — exact,
-        self-refreshing (see closest_point.CPCache). Returns (proj, cache)."""
-        from .closest_point import closest_point_cached
-        q, cache = closest_point_cached(p[:, 0], self.tri_verts, cache)
+        self-refreshing (see closest_point.CPCache). Returns (proj, cache).
+        With host-built groups the refresh is hierarchical (group bounds ->
+        per-triangle bounds -> exact top-k) instead of a flat (Q, T) sweep."""
+        if self.grp_tris is not None:
+            from .closest_point import closest_point_cached_hier
+            q, cache = closest_point_cached_hier(
+                p[:, 0], self.grp_tris, self.grp_cent, self.grp_rad,
+                self.grp_gcenter, self.grp_gradius, cache)
+        else:
+            from .closest_point import closest_point_cached
+            q, cache = closest_point_cached(p[:, 0], self.tri_verts, cache)
         return q[:, None, :], cache
 
 

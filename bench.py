@@ -88,6 +88,27 @@ def _physics_quality(solver, iters):
     return ok, {"prim_first": float(prim[0]), "prim_last": float(prim[-1])}
 
 
+def _phase_breakdown(solver, iters):
+    """One instrumented step (per-phase dispatches — RuntimeData::print
+    parity, Solver.cpp:551-564). Upper bounds on TPU (each phase pays its
+    own dispatch sync), but they localize where a thin margin goes."""
+    from aa_admm_tpu.core.timers import RuntimeData
+    saved = solver.runtime
+    solver.runtime = RuntimeData()
+    try:
+        solver.step_instrumented()
+        r = solver.runtime
+        return {"phase_ms_per_iter": {
+            "global": round(r.global_ms / iters, 3),
+            "local": round(r.local_ms / iters, 3),
+            "acceleration": round(r.acceleration_ms / iters, 3),
+            "initialization": round(r.initialization_ms, 3)}}
+    except Exception as e:                      # diagnostic only
+        return {"phase_ms_per_iter": {"error": str(e)}}
+    finally:
+        solver.runtime = saved
+
+
 def bench_beams():
     from aa_admm_tpu.apps.beams import build_scene
     s = _settings(100)
@@ -98,6 +119,7 @@ def bench_beams():
     out = {"iters_per_s": round(n_steps * s.admm_iters / elapsed, 3)}
     ok, q = _physics_quality(solver, s.admm_iters)
     out.update(q)
+    out.update(_phase_breakdown(solver, s.admm_iters))
     # Measured time-to-tolerance (combined residual < 1e-5 x initial) with
     # honest chunk-boundary timestamps. The chunked dispatch path compiles
     # separately from the fused scan — warm it with one untimed step first
@@ -139,6 +161,7 @@ def _zxu_scene(build, iters, n_steps):
     out["iters_per_s_fused"] = round(n_steps * iters / tf, 3)
     prim = np.asarray(traces.prim, np.float64)
     ok = ok and bool(np.all(np.isfinite(prim[~np.isnan(prim)])))
+    out.update(_phase_breakdown(solver, iters))
     return out, ok
 
 
