@@ -88,6 +88,18 @@ def _physics_quality(solver, iters):
     return ok, {"prim_first": float(prim[0]), "prim_last": float(prim[-1])}
 
 
+def _maybe_profile(solver, name):
+    """AAADMM_PROFILE=<dir>: capture a jax.profiler trace of one fused step
+    (SURVEY section 5.1 — per-op TPU timeline; view with xprof/tensorboard)."""
+    pdir = os.environ.get("AAADMM_PROFILE")
+    if not pdir:
+        return
+    import jax
+    with jax.profiler.trace(os.path.join(pdir, name)):
+        solver.step()
+        solver.flush_traces()
+
+
 def _phase_breakdown(solver, iters):
     """One instrumented step (per-phase dispatches — RuntimeData::print
     parity, Solver.cpp:551-564). Upper bounds on TPU (each phase pays its
@@ -120,6 +132,7 @@ def bench_beams():
     ok, q = _physics_quality(solver, s.admm_iters)
     out.update(q)
     out.update(_phase_breakdown(solver, s.admm_iters))
+    _maybe_profile(solver, "beams")
     # Measured time-to-tolerance (combined residual < 1e-5 x initial) with
     # honest chunk-boundary timestamps. The chunked dispatch path compiles
     # separately from the fused scan — warm it with one untimed step first
@@ -162,6 +175,7 @@ def _zxu_scene(build, iters, n_steps):
     prim = np.asarray(traces.prim, np.float64)
     ok = ok and bool(np.all(np.isfinite(prim[~np.isnan(prim)])))
     out.update(_phase_breakdown(solver, iters))
+    _maybe_profile(solver, "zxu")
     return out, ok
 
 
