@@ -228,10 +228,11 @@ def bench_wiremesh():
     with open(opts, "w") as f:
         f.write("Iterations 100\nAndersonM 5\nPenalty 1000\n")
     dtype = np.dtype(os.environ.get("AAADMM_DTYPE", "float32"))
-    # Chunked dispatch (25-iter chunks): a single multi-minute TPU dispatch
-    # can exceed the tunnel's execution window (CLAUDE.md), and the chunk
-    # boundaries give measured residual timestamps for the tt metric.
-    chunk = 25
+    # Chunked dispatch: a single multi-minute TPU dispatch can exceed the
+    # tunnel's execution window (CLAUDE.md) — at ~3s/iteration on this
+    # backend a 25-iter chunk did exactly that. 4-iter chunks stay well
+    # inside it and give measured residual timestamps for the tt metric.
+    chunk = int(os.environ.get("AAADMM_WIRE_CHUNK", "4"))
     solver = w.main([f"{REF}/WireMeshData/MaleTorso.obj",
                      f"{REF}/WireMeshData/MaleTorso_target.obj",
                      opts, os.path.join(tempfile.gettempdir(),
