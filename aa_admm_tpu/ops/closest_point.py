@@ -319,17 +319,25 @@ def _cp_refresh_hier(p, tri_verts, tri_cent, tri_rad, gcenter, gradius,
     pq = jnp.pad(p, ((0, pad_q), (0, 0))).reshape(-1, qt, 3)
     g = min(n_groups, G)
 
+    # Group-blocked copies: gathers of (S, ...) blocks move 256-768B rows —
+    # the measured sweet spot of this backend's gather unit (75 GB/s) vs
+    # ~3 GB/s for 12B per-triangle rows.
+    cent_blk = tri_cent.reshape(G, S, 3)
+    rad_blk = tri_rad.reshape(G, S)
+
     def per_chunk(pc):
         # Stage 0: (q, G) group lower bounds, direct norm (no cancellation).
         dg = jnp.sqrt(jnp.sum(
             (pc[:, None, :] - gcenter[None]) ** 2, -1))         # (q, G)
         lower_g = jnp.maximum(dg - gradius[None, :], 0.0)
         _, gidx = jax.lax.top_k(-lower_g, g)                    # (q, g)
-        # Stage 1: exact per-triangle lower bounds on g*S candidates.
+        # Stage 1: exact per-triangle lower bounds on g*S candidates,
+        # fetched as whole group blocks.
+        qn = pc.shape[0]
+        cc = cent_blk[gidx].reshape(qn, g * S, 3)               # (q, gS, 3)
+        rr = rad_blk[gidx].reshape(qn, g * S)
         slots = (gidx[..., None] * S
-                 + jnp.arange(S, dtype=gidx.dtype)).reshape(pc.shape[0], -1)
-        cc = tri_cent[slots]                                    # (q, gS, 3)
-        rr = tri_rad[slots]
+                 + jnp.arange(S, dtype=gidx.dtype)).reshape(qn, -1)
         dt_ = jnp.sqrt(jnp.sum((pc[:, None, :] - cc) ** 2, -1))
         lower = jnp.maximum(dt_ - rr, 0.0)                      # (q, gS)
         vals, j = jax.lax.top_k(-lower, k)                      # (q, k)

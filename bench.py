@@ -106,8 +106,10 @@ def _phase_breakdown(solver, iters):
     own dispatch sync), but they localize where a thin margin goes."""
     from aa_admm_tpu.core.timers import RuntimeData
     saved = solver.runtime
-    solver.runtime = RuntimeData()
     try:
+        solver.runtime = RuntimeData()
+        solver.step_instrumented()       # warm the per-phase dispatch path
+        solver.runtime = RuntimeData()
         solver.step_instrumented()
         r = solver.runtime
         return {"phase_ms_per_iter": {
@@ -244,16 +246,19 @@ def bench_wiremesh():
     ok = (out["edge_err_max"] <= _QUALITY_LOOSE * _WIREMESH_EDGE_MAX
           and out["angle_err_max"] <= _QUALITY_LOOSE * _WIREMESH_ANGLE_MAX)
     # Measured time-to-tolerance: first iteration whose combined residual is
-    # < 1e-5 x the first accepted one, timestamped at the *measured* chunk
-    # boundary containing it (within-chunk times are interpolated; the
-    # boundary is a real wall-clock reading -> conservative upper bound).
+    # < 1e-3 x the first accepted one (the C++ run reaches ~1.2e-4 total in
+    # 100 iters, hitting 1e-3 at iter 37 / 54.8s — golden trajectory),
+    # timestamped at the *measured* chunk boundary containing it
+    # (within-chunk times are interpolated; the boundary is a real
+    # wall-clock reading -> conservative upper bound).
     fv = np.asarray(solver.function_values, np.float64)
     tms = np.asarray(solver.elapsed_time, np.float64)
     if fv.size:
-        hit = np.nonzero(fv < 1e-5 * fv[0])[0]
+        hit = np.nonzero(fv < 1e-3 * fv[0])[0]
         if hit.size:
             bidx = min(((int(hit[0]) // chunk) + 1) * chunk, fv.size) - 1
-            out["tt_comb_rel1e-5_s"] = round(float(tms[bidx]), 3)
+            out["tt_comb_rel1e-3_s"] = round(float(tms[bidx]), 3)
+            out["tt_comb_rel1e-3_s_cpp"] = 54.78
     return out, "maletorso_wiremesh_100iters_s", float(solve_s), ok
 
 
