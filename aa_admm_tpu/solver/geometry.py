@@ -86,6 +86,144 @@ class EllMatrix:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class BsrMatrix:
+    """Morton-blocked SpMV for the constant global operator, built for a
+    backend whose gather unit runs at ~3 GB/s on 12-byte rows but ~25-75
+    GB/s on 192-256-byte rows (measured; CLAUDE.md): vertices are permuted
+    into Morton order and grouped into B-vertex blocks, each block-row
+    stores a dense (B, deg*B) local matrix over its `deg` most-populated
+    neighbor blocks (gathered as whole (B, 3) blocks), and the few entries
+    that fall outside the deg cap spill into a narrow per-row ELL gather.
+    ~4-5x faster per matvec than the flat ELL gather at wiremesh scale."""
+
+    iperm: jnp.ndarray       # (n,) original vertex -> blocked position
+    nbr: jnp.ndarray         # (nb, deg) int32 neighbor block ids
+    a_loc: jnp.ndarray       # (nb, B, deg*B) dense local blocks
+    spill_rows: jnp.ndarray  # (E,) int32 COO spill (blocked numbering)
+    spill_cols: jnp.ndarray  # (E,) int32
+    spill_vals: jnp.ndarray  # (E,)
+    block: int = _static(default=16)
+
+    @classmethod
+    def from_csr(cls, A, dtype, verts, block: int = 16, deg_cap: int = 12):
+        """Host build. `verts` (n, 3) supplies the Morton order."""
+        import scipy.sparse as sp
+        n = A.shape[0]
+        v = np.asarray(verts, np.float64)
+        lo, hi = v.min(0), v.max(0)
+        q = np.clip((v - lo) / np.maximum(hi - lo, 1e-30) * 1023.0,
+                    0, 1023).astype(np.uint64)
+
+        def spread(x):
+            x = (x | (x << 32)) & np.uint64(0x1F00000000FFFF)
+            x = (x | (x << 16)) & np.uint64(0x1F0000FF0000FF)
+            x = (x | (x << 8)) & np.uint64(0x100F00F00F00F00F)
+            x = (x | (x << 4)) & np.uint64(0x10C30C30C30C30C3)
+            x = (x | (x << 2)) & np.uint64(0x1249249249249249)
+            return x
+
+        code = spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1)) \
+            | (spread(q[:, 2]) << np.uint64(2))
+        perm = np.argsort(code, kind="stable")    # blocked pos j -> original
+        B = block
+        nb = -(-n // B)
+        n_pad = nb * B
+        iperm = np.empty(n, np.int64)
+        iperm[perm] = np.arange(n)                # original -> blocked pos
+        # permute A into blocked numbering (pad rows/cols stay empty)
+        coo = A.tocoo()
+        Ap = sp.csr_matrix((coo.data, (iperm[coo.row], iperm[coo.col])),
+                           shape=(n_pad, n_pad))
+        Ap.sum_duplicates()
+        # per block-row: neighbor block histogram, keep the deg_cap most
+        # populated neighbor blocks (vectorized — nnz ~ 2M at wiremesh scale)
+        coo_p = Ap.tocoo()
+        rows, cols, data = coo_p.row.astype(np.int64), \
+            coo_p.col.astype(np.int64), coo_p.data
+        br, bc = rows // B, cols // B
+        pair = br * nb + bc
+        upair, counts = np.unique(pair, return_counts=True)
+        ubr, ubc = upair // nb, upair % nb
+        order = np.lexsort((-counts, ubr))
+        ubr_s, ubc_s = ubr[order], ubc[order]
+        rank = np.arange(len(ubr_s)) - np.searchsorted(
+            ubr_s, ubr_s)                       # rank within block-row
+        kept = rank < deg_cap
+        # Unused slots self-pad: a duplicated neighbor slot double-gathers
+        # the block but its local coefficients are zero — harmless.
+        nbr_list = np.tile(np.arange(nb, dtype=np.int32)[:, None],
+                           (1, deg_cap))
+        nbr_list[ubr_s[kept], rank[kept]] = ubc_s[kept].astype(np.int32)
+
+        # slot of each entry's (block-row, neighbor-block), -1 if spilled
+        kept_pair = ubr_s[kept] * nb + ubc_s[kept]
+        kept_slot = rank[kept]
+        kp_order = np.argsort(kept_pair)
+        kept_pair_s, kept_slot_s = kept_pair[kp_order], kept_slot[kp_order]
+        pos = np.searchsorted(kept_pair_s, pair)
+        pos = np.minimum(pos, len(kept_pair_s) - 1)
+        hit = kept_pair_s[pos] == pair
+        slot = np.where(hit, kept_slot_s[pos], -1)
+
+        a_loc = np.zeros((nb, B, deg_cap * B), np.float64)
+        m = slot >= 0
+        np.add.at(a_loc,
+                  (br[m], rows[m] - br[m] * B,
+                   slot[m] * B + (cols[m] - bc[m] * B)), data[m])
+        # Spilled entries as compact COO (few-percent of nnz): a padded
+        # per-row spill table would re-create the full-width 12B-row gather
+        # this structure exists to avoid.
+        sp_r, sp_c, sp_v = rows[~m], cols[~m], data[~m]
+        E = max(1, len(sp_r))
+        spill_rows = np.zeros(E, np.int64)
+        spill_cols = np.zeros(E, np.int64)
+        spill_vals = np.zeros(E)
+        spill_rows[: len(sp_r)] = sp_r
+        spill_cols[: len(sp_r)] = sp_c
+        spill_vals[: len(sp_r)] = sp_v
+        return cls(iperm=jnp.asarray(iperm.astype(np.int32)),
+                   nbr=jnp.asarray(nbr_list),
+                   a_loc=jnp.asarray(a_loc.astype(dtype)),
+                   spill_rows=jnp.asarray(spill_rows.astype(np.int32)),
+                   spill_cols=jnp.asarray(spill_cols.astype(np.int32)),
+                   spill_vals=jnp.asarray(spill_vals.astype(dtype)),
+                   block=B)
+
+    @property
+    def n_pad(self):
+        return self.nbr.shape[0] * self.block
+
+    def to_blocked(self, v):
+        """(n, c) original numbering -> (n_pad, c) blocked numbering."""
+        vp = jnp.zeros((self.n_pad,) + v.shape[1:], v.dtype)
+        return vp.at[self.iperm].set(v)
+
+    def from_blocked(self, vp, n):
+        return vp[self.iperm]
+
+    def apply_blocked(self, vp):
+        """A v in blocked numbering: (n_pad, c) -> (n_pad, c). The CG loop
+        runs entirely in blocked space (permute once per solve, not per
+        matvec)."""
+        B = self.block
+        nb = self.nbr.shape[0]
+        c = vp.shape[1]
+        vb = vp.reshape(nb, B, c)
+        neigh = vb[self.nbr]                       # (nb, deg, B, c) blocks
+        neigh = neigh.reshape(nb, -1, c)           # (nb, deg*B, c)
+        out = jnp.einsum("nbd,ndc->nbc", self.a_loc, neigh)
+        out = out.reshape(nb * B, c)
+        return out.at[self.spill_rows].add(
+            self.spill_vals[:, None] * vp[self.spill_cols])
+
+    def apply(self, v):
+        """v (n, c) -> A v (n, c) in original numbering."""
+        return self.from_blocked(self.apply_blocked(self.to_blocked(v)),
+                                 v.shape[0])
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class GeometrySystem:
     hard: tuple                      # hard constraint batches
     soft: tuple                      # soft constraint batches
@@ -94,6 +232,11 @@ class GeometrySystem:
     rhs_fixed: jnp.ndarray           # (n, 3) = L^T * reg_rhs
     mg: Optional["TwoLevelPrecond"] = None  # two-level precond (PCG path)
     ell: Optional[EllMatrix] = None         # constant-operator matvec (PCG)
+    # Morton-blocked operator + blocked preconditioner data (large meshes):
+    # the CG loop then runs in blocked numbering (permute once per solve).
+    bsr: Optional[BsrMatrix] = None
+    precond_diag_b: Optional[jnp.ndarray] = None   # (n_pad,)
+    mg_b: Optional["TwoLevelPrecond"] = None
     reg: Optional[RegRows] = None
     # Delta-form anchors (set per solve): the loop state is delta = x - x0,
     # so every carried quantity is O(local scale) and f32 keeps ~1e-7
@@ -196,6 +339,20 @@ def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None,
     if system.solver is not None:
         x = system.solver.solve(rhs)
         return (x, jnp.zeros((), jnp.int32)) if with_iters else x
+
+    if system.bsr is not None:
+        # Blocked-space CG: one permute in, one out; every matvec and
+        # preconditioner application stays in Morton-blocked numbering.
+        bsr = system.bsr
+        rhs_b = bsr.to_blocked(rhs)
+        x0_b = bsr.to_blocked(x_warm) if x_warm is not None else None
+        mgb = system.mg_b
+        x_b, it = pcg(bsr.apply_blocked, rhs_b, system.precond_diag_b,
+                      tol=system.cg_tol, max_iters=system.cg_max_iters,
+                      x0=x0_b,
+                      precond=mgb.apply if mgb is not None else None)
+        x = bsr.from_blocked(x_b, system.n_verts)
+        return (x, it) if with_iters else x
 
     if system.ell is not None:
         operator = system.ell.apply
@@ -427,9 +584,12 @@ class ALMGeometrySolver:
     add_*laplacian / setup_ADMM / solve_ADMM / get_solution / save,
     ALMGeometrySolver.h:81-365)."""
 
-    def __init__(self, dense_threshold: int = 12000):
+    def __init__(self, dense_threshold: int = 12000,
+                 bsr_threshold: int = 50000):
         self.hard: List = []
         self.soft: List = []
+        self.bsr_threshold = bsr_threshold
+        self._bsr = None
         self.reg_rows: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
         self.system: Optional[GeometrySystem] = None
         self.dense_threshold = dense_threshold
@@ -578,7 +738,11 @@ class ALMGeometrySolver:
             cg_tol = os.environ.get("AAADMM_GEO_CG_TOL")
         if cg_tol is None:
             # f32 can't reach 1e-12 relative; don't spin CG at max_iters.
-            cg_tol = 1e-12 if self.dtype == np.float64 else 2e-6
+            # 1e-4 suffices at f32: the accept/reject safeguard keeps the
+            # inexact-ADMM iteration monotone and the converged error
+            # metrics match the C++ (bench quality gates + golden-head
+            # parity at this tolerance); tighten via AAADMM_GEO_CG_TOL.
+            cg_tol = 1e-12 if self.dtype == np.float64 else 1e-4
         if chunk_iters is None:
             chunk_iters = int(os.environ.get("AAADMM_GEO_CHUNK", "0"))
         chunk = int(chunk_iters) if chunk_iters else int(max_iter)
@@ -590,6 +754,30 @@ class ALMGeometrySolver:
         t0_s = tuple(jnp.asarray(b.transform_host(x0_np).astype(self.dtype))
                      for b in self.soft)
         Ax0 = np.asarray(self._A_host @ x0_np)
+        bsr_kw = {}
+        if (self.system.solver is None
+                and self.system.n_verts >= self.bsr_threshold):
+            if getattr(self, "_bsr", None) is None:
+                self._bsr = BsrMatrix.from_csr(self._A_host, self.dtype,
+                                               x0_np)
+                n_pad = self._bsr.n_pad
+                diag_b = np.ones(n_pad)
+                diag = np.asarray(self._A_host.diagonal())
+                iperm = np.asarray(self._bsr.iperm)
+                diag_b[iperm] = np.maximum(diag, 1e-12)
+                self._diag_b = jnp.asarray(diag_b.astype(self.dtype))
+                self._mg_b = None
+                if self.system.mg is not None:
+                    mg = self.system.mg
+                    agg_b = np.zeros(n_pad, np.int32)
+                    agg_b[iperm] = np.asarray(mg.agg)
+                    invd_b = np.zeros(n_pad)
+                    invd_b[iperm] = np.asarray(mg.inv_diag)
+                    self._mg_b = dataclasses.replace(
+                        mg, agg=jnp.asarray(agg_b),
+                        inv_diag=jnp.asarray(invd_b.astype(self.dtype)))
+            bsr_kw = dict(bsr=self._bsr, precond_diag_b=self._diag_b,
+                          mg_b=self._mg_b)
         self.system = dataclasses.replace(
             self.system, max_iter=chunk,
             anderson_m=int(anderson_m), accel=anderson_m > 0,
@@ -597,7 +785,8 @@ class ALMGeometrySolver:
             cg_max_iters=int(cg_max_iters or self.system.cg_max_iters),
             x0=jnp.asarray(x0_np.astype(self.dtype)),
             t0_hard=t0_h, t0_soft=t0_s,
-            Ax0=jnp.asarray(Ax0.astype(self.dtype)))
+            Ax0=jnp.asarray(Ax0.astype(self.dtype)),
+            **bsr_kw)
         x0 = jnp.asarray(np.asarray(init_x, self.dtype))
         e0 = float(soft_energy_delta(self.system, jnp.zeros_like(x0)))
         print(f"Init energy = {e0}")

@@ -342,3 +342,37 @@ def test_closest_point_cached_hier_exact_and_refreshes():
     d3 = np.linalg.norm(np.asarray(q3) - np.asarray(out3), axis=1)
     np.testing.assert_allclose(d3, d3b, rtol=1e-9, atol=1e-11)
     assert np.array_equal(np.asarray(cache3.p0), np.asarray(q3))
+
+
+def test_bsr_matvec_matches_dense():
+    """Morton-blocked SpMV (BsrMatrix) must equal the dense matvec for
+    mesh-like SPD matrices, across block padding (n % B != 0), deg_cap
+    spills, and multiple rhs columns."""
+    import scipy.sparse as sp
+    import jax.numpy as jnp
+    from aa_admm_tpu.solver.geometry import BsrMatrix
+
+    rng = np.random.default_rng(11)
+    n = 1003                      # not a multiple of the block size
+    verts = rng.normal(size=(n, 3))
+    # random symmetric sparse matrix with mesh-like locality + a few
+    # long-range entries (these exercise the deg_cap spill path)
+    from scipy.spatial import cKDTree
+    tree = cKDTree(verts)
+    pairs = tree.query_pairs(0.35, output_type="ndarray")
+    far = rng.integers(0, n, (40, 2))
+    pairs = np.concatenate([pairs, far], axis=0)
+    vals = rng.normal(size=len(pairs))
+    A = sp.coo_matrix((vals, (pairs[:, 0], pairs[:, 1])), shape=(n, n))
+    A = (A + A.T).tocsr()
+    A = A + sp.diags(np.abs(A).sum(axis=1).A.ravel() + 1.0)
+
+    bsr = BsrMatrix.from_csr(A.tocsr(), np.float64, verts, block=16,
+                             deg_cap=4)   # tiny cap -> real spill traffic
+    v = rng.normal(size=(n, 3))
+    ref = A @ v
+    got = np.asarray(bsr.apply(jnp.asarray(v)))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-12)
+    # blocked round trip
+    vb = bsr.to_blocked(jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(bsr.from_blocked(vb, n)), v)
