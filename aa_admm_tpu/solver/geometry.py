@@ -755,8 +755,12 @@ class ALMGeometrySolver:
                      for b in self.soft)
         Ax0 = np.asarray(self._A_host @ x0_np)
         bsr_kw = {}
+        # The blocked operator trades gathered bytes for streamed dense
+        # bytes — a win on the TPU's gather unit, a large loss on CPU
+        # (where the flat ELL gather is already fast); keep ELL there.
         if (self.system.solver is None
-                and self.system.n_verts >= self.bsr_threshold):
+                and self.system.n_verts >= self.bsr_threshold
+                and jax.default_backend() != "cpu"):
             if getattr(self, "_bsr", None) is None:
                 self._bsr = BsrMatrix.from_csr(self._A_host, self.dtype,
                                                x0_np)
