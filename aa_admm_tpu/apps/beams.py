@@ -47,17 +47,26 @@ def build_scene(settings: Settings, order=UpdateOrder.XZU):
                 pin_labels.append(1)
                 pin_points.append(v.copy())
 
-    state = dict(points=[p.copy() for p in pin_points])
-
     def stretch(dt):
-        """stretch_beams (beams.cpp:66-92): move pins +/- 1 m/s in x."""
+        """stretch_beams (beams.cpp:66-92): move pins +/- 1 m/s in x.
+        Reads the solver's current pin positions, so it composes with the
+        fused rollout driver (run(n, pin_vel) advances solver.pins too)."""
         move = np.array([1.0, 0.0, 0.0]) * dt
-        for i in range(len(pin_ids)):
-            state["points"][i] += move if pin_labels[i] else -move
-        solver.set_pins(pin_ids, state["points"])
+        pts = []
+        for pid, lab, p0 in zip(pin_ids, pin_labels, pin_points):
+            cur = solver.pins.get(pid, p0)
+            pts.append(cur + (move if lab else -move))
+        solver.set_pins(pin_ids, pts)
 
     stretch(settings.timestep_s)  # initial pin placement (beams.cpp:160)
     solver.initialize(settings)
+    # Constant pin velocity field for the fused rollout driver
+    # (PhysicsSolver.run(n, pin_vel=stretch.pin_velocity) ==
+    #  n x [stretch(dt); step()]).
+    vel = np.zeros((solver.n_verts, 3))
+    for pid, lab in zip(pin_ids, pin_labels):
+        vel[pid, 0] = 1.0 if lab else -1.0
+    stretch.pin_velocity = vel
     return solver, stretch
 
 

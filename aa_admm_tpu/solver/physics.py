@@ -758,24 +758,31 @@ def _step_commit(system: PhysicsSystem, carry, x0, prims, combs, rejects):
 
 
 @partial(jax.jit, static_argnames=("n_frames",))
-def run_frames(system: PhysicsSystem, x, v, pin_pos, n_frames: int):
+def run_frames(system: PhysicsSystem, x, v, pin_pos, n_frames: int,
+               pin_vel=None):
     """n_frames full timesteps as ONE device dispatch (outer lax.scan over
     frames, inner scan over ADMM iterations). For small scenes the per-step
     dispatch + host-sync cost dominates TPU time (the tunnel pays a round
     trip per step); fusing the whole rollout keeps the simulation on device
-    end to end. Valid when nothing host-side changes between frames: static
-    pins (pin_pos constant), no per-frame callbacks, no dynamic/self
-    collision re-detection. Returns (x, v, traces) with trace arrays
-    stacked (n_frames, iters)."""
+    end to end. Valid when nothing host-side changes between frames except
+    (optionally) constant-velocity pin motion: pin_vel (n, 3) moves the
+    pins by dt*pin_vel BEFORE each step, matching a per-frame
+    `set_pins` callback like beams' stretch (beams.cpp:66-92). No other
+    per-frame host work (no dynamic/self collision re-detection).
+    Returns (x, v, final pin_pos, traces) with traces stacked
+    (n_frames, iters)."""
     step = step_xzu if system.order == "xzu" else step_zxu
 
     def body(carry, _):
-        cx, cv = carry
-        xn, vn, tr = step(system, cx, cv, pin_pos)
-        return (xn, vn), tr
+        cx, cv, pp = carry
+        if pin_vel is not None:
+            pp = pp + system.dt * pin_vel
+        xn, vn, tr = step(system, cx, cv, pp)
+        return (xn, vn, pp), tr
 
-    (xf, vf), traces = jax.lax.scan(body, (x, v), None, length=n_frames)
-    return xf, vf, traces
+    (xf, vf, ppf), traces = jax.lax.scan(body, (x, v, pin_pos), None,
+                                         length=n_frames)
+    return xf, vf, ppf, traces
 
 
 @jax.jit
@@ -1117,20 +1124,30 @@ class PhysicsSolver:
                   f"reset number = {int(trace.reset_count)}")
         return trace
 
-    def run(self, n_frames: int):
+    def run(self, n_frames: int, pin_vel=None):
         """n_frames timesteps as ONE fused device dispatch (run_frames):
         the TPU-first rollout driver for scenes with no per-frame host work
-        (static pins, no self-collision refresh, no ADMM seed, no chunked
-        tracing). Equivalent to n_frames step() calls; per-step dispatch
-        and host-sync latency is paid once instead of per frame."""
+        (static or constant-velocity pins, no self-collision refresh, no
+        ADMM seed, no chunked tracing). Equivalent to n_frames step()
+        calls (with a pre-step `set_pins(pins + dt*pin_vel)` when pin_vel
+        is given); per-step dispatch and host-sync latency is paid once
+        instead of per frame."""
         assert self.initialized
         assert self._selfcol_index is None, \
             "self-collision needs per-frame host re-detection — use step()"
         assert self._admm_seed is None and self.settings.trace_chunk == 0
         t = MicroTimer()
-        xf, vf, traces = run_frames(self.system, self._x_dev, self._v_dev,
-                                    jnp.asarray(self.pin_pos), int(n_frames))
+        pv = None if pin_vel is None else \
+            jnp.asarray(np.asarray(pin_vel, self.pin_pos.dtype))
+        xf, vf, ppf, traces = run_frames(self.system, self._x_dev,
+                                         self._v_dev,
+                                         jnp.asarray(self.pin_pos),
+                                         int(n_frames), pv)
         xf.block_until_ready()
+        if pin_vel is not None:
+            self.pin_pos = np.asarray(ppf)
+            for idx in self.pins:
+                self.pins[idx] = self.pin_pos[idx].copy()
         elapsed = t.elapsed_ms()
         self._x_dev, self._v_dev = xf, vf
         self._x_host = self._v_host = None

@@ -133,6 +133,17 @@ def bench_beams():
     out = {"iters_per_s": round(n_steps * s.admm_iters / elapsed, 3)}
     ok, q = _physics_quality(solver, s.admm_iters)
     out.update(q)
+    # Fused rollout with constant-velocity pin motion carried in the scan
+    # (run(n, pin_vel) == n x [stretch; step], pinned by tests).
+    solver.run(n_steps, pin_vel=stretch.pin_velocity)
+    solver.flush_traces()
+    t0 = time.perf_counter()
+    traces = solver.run(n_steps, pin_vel=stretch.pin_velocity)
+    tf = time.perf_counter() - t0
+    solver.flush_traces()
+    out["iters_per_s_fused"] = round(n_steps * s.admm_iters / tf, 3)
+    prim = np.asarray(traces.prim, np.float64)
+    ok = ok and bool(np.all(np.isfinite(prim[~np.isnan(prim)])))
     out.update(_phase_breakdown(solver, s.admm_iters))
     _maybe_profile(solver, "beams")
     # Measured time-to-tolerance (combined residual < 1e-5 x initial) with
@@ -152,7 +163,7 @@ def bench_beams():
     hit = np.nonzero(comb < 1e-5 * comb[0])[0]
     if hit.size:
         out["tt_comb_rel1e-5_ms"] = round(float(t[hit[0]]), 3)
-    return out, "beams_iters_per_s", out["iters_per_s"], ok
+    return out, "beams_iters_per_s", _zxu_value(out), ok
 
 
 def _zxu_scene(build, iters, n_steps):

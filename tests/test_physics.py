@@ -232,3 +232,30 @@ def test_run_frames_matches_stepwise():
     a.step()
     b.step()
     np.testing.assert_allclose(b.x, a.x, rtol=0, atol=1e-12)
+
+
+def test_run_frames_moving_pins_matches_stepwise():
+    """run(n, pin_vel) must equal n x [stretch(dt); step()] on the beams
+    scene (constant-velocity pin motion carried inside the fused scan)."""
+    from aa_admm_tpu.apps.beams import build_scene
+    s = Settings()
+    s.admm_iters = 8
+    s.verbose = 0
+    s.dtype = np.dtype("float64")
+    a, stretch_a = build_scene(s)
+    b, stretch_b = build_scene(s)
+    for _ in range(3):
+        stretch_a(s.timestep_s)
+        a.step()
+    b.run(3, pin_vel=stretch_b.pin_velocity)
+    a.flush_traces()
+    b.flush_traces()
+    np.testing.assert_allclose(b.x, a.x, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(b.pin_pos, a.pin_pos, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(b.step_prim, a.step_prim, rtol=1e-12)
+    # composes with the stepwise driver afterwards
+    stretch_a(s.timestep_s)
+    a.step()
+    stretch_b(s.timestep_s)
+    b.step()
+    np.testing.assert_allclose(b.x, a.x, rtol=0, atol=1e-12)
