@@ -205,6 +205,7 @@ def dryrun(n_devices: int) -> None:
     # residual norms / AA inner products, gathers for the scatter — must be
     # value-neutral).
     import time as _time
+    summary = {}
     for order in ("xzu", "zxu"):
         solver64, s64 = build_tiny_scene(order, dtype="float64")
         fn = step_xzu if order == "xzu" else step_zxu
@@ -245,3 +246,17 @@ def dryrun(n_devices: int) -> None:
               f"max|dprim|={dprim:.3e}; iters/s 1dev={r1:.1f} "
               f"{n_devices}dev={rn:.1f} (virtual CPU mesh, overhead canary); "
               f"all-reduces in module={n_psum}", flush=True)
+        summary[order] = {"max_dx": dx, "max_dprim": dprim,
+                          "iters_per_s_1dev": round(r1, 1),
+                          f"iters_per_s_{n_devices}dev": round(rn, 1),
+                          "all_reduces": n_psum}
+
+    # One machine-readable line for the multichip artifact. Any XLA:CPU AOT
+    # machine-feature warnings on the virtual mesh are benign by
+    # construction here: a mis-executing kernel would break the 1e-10
+    # sharded-vs-unsharded parity asserted above, so parity_certified=true
+    # is a correctness statement, not a compile statement.
+    import json as _json
+    print(_json.dumps({"dryrun": "ok", "n_devices": n_devices,
+                       "parity_certified": True, "orders": summary}),
+          flush=True)
