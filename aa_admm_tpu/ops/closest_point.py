@@ -250,21 +250,47 @@ class CPCache(NamedTuple):
     the 2-stage query — the (Q, T) lower-bound matrix + top-k, ~20ms/iter at
     costa2k scale and HBM-prohibitive at wiremesh scale — can be hoisted out
     of the loop: candidates chosen at p0 remain provably exact while
-    ``2 * |p - p0| < slack`` with ``slack = (k-th smallest lower bound at
-    p0) - (true nearest distance at p0)``: any excluded triangle is at least
-    ``lower_k - |p-p0|`` away while the cached best is at most
-    ``best + |p-p0|`` away. When any query violates its bound, the whole
-    batch refreshes in-loop via lax.cond (a rare full 2-stage pass)."""
+    ``2 * |p - p0| < slack`` with ``slack = (smallest lower bound among
+    EXCLUDED candidates at p0) - (true nearest distance at p0)``: any
+    excluded triangle is at least ``bound - |p-p0|`` away while the cached
+    best is at most ``best + |p-p0|`` away. When any query violates its
+    bound, the whole batch refreshes in-loop via lax.cond."""
 
     idx: jnp.ndarray     # (Q, K) int32 candidate triangle ids
     p0: jnp.ndarray      # (Q, 3)  query positions at cache time
     slack: jnp.ndarray   # (Q,)    validity margin (-inf forces refresh)
 
 
+class CPCacheGroup(NamedTuple):
+    """Group-granular candidate cache (large reference meshes).
+
+    Candidates are whole Morton groups of S triangles: the fast path then
+    gathers (NG, S, 3, 3) blocks — S*36-byte rows, the measured sweet spot
+    of this backend's gather unit (~75 GB/s vs ~3 GB/s for per-triangle
+    36-byte rows; CLAUDE.md) — instead of Q*K scattered triangles. The
+    cache itself is (Q, NG) int32 (tiny), so the solver's while_loop carry
+    stays small (a cached-coordinates variant was compile-time OOM at
+    wiremesh scale: 400 MB buffers copy-amplified across the accept/reject
+    cond). Exactness: the true nearest triangle lies in the selected groups
+    while ``2 * |p - p0| < slack``, with slack = (lower bound of the best
+    EXCLUDED group at p0) - (nearest distance at p0) — both from an exact
+    top-k over the group bounds."""
+
+    gidx: jnp.ndarray    # (Q, NG) int32 candidate group ids
+    p0: jnp.ndarray      # (Q, 3)
+    slack: jnp.ndarray   # (Q,)
+
+
 def cp_cache_init(n_queries: int, k: int, dtype) -> CPCache:
     return CPCache(idx=jnp.zeros((n_queries, k), jnp.int32),
                    p0=jnp.zeros((n_queries, 3), dtype),
                    slack=jnp.full((n_queries,), -jnp.inf, dtype))
+
+
+def cp_cache_group_init(n_queries: int, n_groups: int, dtype) -> CPCacheGroup:
+    return CPCacheGroup(gidx=jnp.zeros((n_queries, n_groups), jnp.int32),
+                        p0=jnp.zeros((n_queries, 3), dtype),
+                        slack=jnp.full((n_queries,), -jnp.inf, dtype))
 
 
 def _cp_refresh(p, tri_verts, k: int, query_tile: int):
@@ -305,85 +331,117 @@ def _cp_refresh(p, tri_verts, k: int, query_tile: int):
     return q, CPCache(idx=idx.astype(jnp.int32), p0=p, slack=slack)
 
 
-def _cp_refresh_hier(p, tri_verts, tri_cent, tri_rad, gcenter, gradius,
-                     k: int, n_groups: int, query_tile: int):
-    """Hierarchical 2-level refresh: group bounds -> per-triangle bounds on
-    the surviving groups -> exact Ericson on the top-k. Avoids the flat
-    (Q, T) lower-bound sweep (tens of GB of HBM traffic per refresh at
-    wiremesh scale, 230k queries x 40k triangles)."""
+def _gather_sub_tris(tri_sub, gidx):
+    """(Tsub, s, 3, 3) subgroup triangle blocks gathered per query:
+    gidx (q, NG) -> candidates (q, NG*s, 3, 3). s*36-byte block rows ride
+    the gather unit's fast regime (CLAUDE.md: ~75 GB/s at 256B+ rows vs
+    ~3 GB/s at 36B rows)."""
+    qn, ng = gidx.shape
+    s = tri_sub.shape[1]
+    return tri_sub[gidx].reshape(qn, ng * s, 3, 3)
+
+
+def _cp_refresh_group(p, tri_blk, cent_blk, rad_blk, gcenter, gradius,
+                      n_sub: int, sub_size: int, query_tile: int,
+                      prefilter: int = 32, k: int = 48):
+    """Group-cache refresh. The VALUE comes from the hierarchical 2-stage
+    query (group bounds -> per-triangle bounds on the g0 surviving groups ->
+    exact Ericson on the top-k) — the same pipeline the accuracy tests pin
+    against brute force. The CACHE keeps the NG best SUBGROUPS (sub_size
+    consecutive Morton triangles each, scored by their members' best
+    per-triangle bound), with a tight sound slack: the best excluded
+    candidate is no closer than ``min(per-triangle bound over surviving
+    triangles OUTSIDE the cached subgroups, (g0+1)-th group bound)``. If
+    the true nearest ever sat outside the cached subgroups, that excluded
+    bound <= d_true makes the slack non-positive, forcing a refresh
+    instead of a wrong fast path."""
     P = p.shape[0]
     G = gcenter.shape[0]
-    S = tri_verts.shape[0] // G
+    S = tri_blk.shape[1]
+    n_per_g = S // sub_size
     qt = min(query_tile, max(P, 1))
     pad_q = (-P) % qt
     pq = jnp.pad(p, ((0, pad_q), (0, 0))).reshape(-1, qt, 3)
-    g = min(n_groups, G)
-
-    # Group-blocked copies: gathers of (S, ...) blocks move 256-768B rows —
-    # the measured sweet spot of this backend's gather unit (75 GB/s) vs
-    # ~3 GB/s for 12B per-triangle rows.
-    cent_blk = tri_cent.reshape(G, S, 3)
-    rad_blk = tri_rad.reshape(G, S)
+    g0 = min(prefilter, G - 1)
+    ng = min(n_sub, g0 * n_per_g)
 
     def per_chunk(pc):
+        qn = pc.shape[0]
         # Stage 0: (q, G) group lower bounds, direct norm (no cancellation).
         dg = jnp.sqrt(jnp.sum(
             (pc[:, None, :] - gcenter[None]) ** 2, -1))         # (q, G)
         lower_g = jnp.maximum(dg - gradius[None, :], 0.0)
-        _, gidx = jax.lax.top_k(-lower_g, g)                    # (q, g)
-        # Stage 1: exact per-triangle lower bounds on g*S candidates,
-        # fetched as whole group blocks.
-        qn = pc.shape[0]
-        cc = cent_blk[gidx].reshape(qn, g * S, 3)               # (q, gS, 3)
-        rr = rad_blk[gidx].reshape(qn, g * S)
-        slots = (gidx[..., None] * S
-                 + jnp.arange(S, dtype=gidx.dtype)).reshape(qn, -1)
+        negg, gsel = jax.lax.top_k(-lower_g, g0 + 1)            # (q, g0+1)
+        excl_group = -negg[:, g0]       # best bound OUTSIDE the g0 groups
+        gsel = gsel[:, :g0]
+        # Stage 1: per-triangle bounds on the survivors (block gathers).
+        cc = cent_blk[gsel].reshape(qn, g0 * S, 3)
+        rr = rad_blk[gsel].reshape(qn, g0 * S)
+        slots = (gsel[..., None] * S
+                 + jnp.arange(S, dtype=gsel.dtype)).reshape(qn, -1)
         dt_ = jnp.sqrt(jnp.sum((pc[:, None, :] - cc) ** 2, -1))
-        lower = jnp.maximum(dt_ - rr, 0.0)                      # (q, gS)
-        vals, j = jax.lax.top_k(-lower, k)                      # (q, k)
-        idx = jnp.take_along_axis(slots, j, axis=1)             # (q, k)
-        cand = tri_verts[idx]
-        q, sqd = _closest_point_candidates(pc, cand)
-        slack = jnp.max(-vals, axis=1) - jnp.sqrt(sqd)
-        return q, idx, slack
+        lower = jnp.maximum(dt_ - rr, 0.0)                      # (q, g0*S)
+        _, j = jax.lax.top_k(-lower, k)                         # (q, k)
+        idx = jnp.take_along_axis(slots, j, axis=1)
+        q, sqd = _closest_point_candidates(
+            pc, tri_blk.reshape(-1, 3, 3)[idx])
+        # Cache-subgroup selection: score = best member bound.
+        sub_score = lower.reshape(qn, -1, sub_size).min(-1)     # (q, g0*n)
+        sslots = (gsel[..., None] * n_per_g
+                  + jnp.arange(n_per_g, dtype=gsel.dtype)).reshape(qn, -1)
+        _, js = jax.lax.top_k(-sub_score, ng)
+        gidx = jnp.take_along_axis(sslots, js, axis=1)          # (q, NG)
+        # Tight excluded-set margin from the per-triangle bounds.
+        tri_sub_id = slots // sub_size                          # (q, g0*S)
+        in_cache = jnp.any(tri_sub_id[:, :, None] == gidx[:, None, :], -1)
+        excl_tri = jnp.min(jnp.where(in_cache, jnp.inf, lower), axis=1)
+        excl = jnp.minimum(excl_tri, excl_group)
+        slack = excl - jnp.sqrt(sqd)
+        return q, gidx, slack
 
-    q, idx, slack = jax.lax.map(per_chunk, pq)
+    q, gidx, slack = jax.lax.map(per_chunk, pq)
     return (q.reshape(-1, 3)[:P],
-            CPCache(idx=idx.reshape(-1, k)[:P].astype(jnp.int32), p0=p,
-                    slack=slack.reshape(-1)[:P]))
+            CPCacheGroup(gidx=gidx.reshape(P + pad_q, ng)[:P]
+                         .astype(jnp.int32),
+                         p0=p, slack=slack.reshape(-1)[:P]))
 
 
-@partial(jax.jit, static_argnames=("n_groups", "query_tile"))
-def closest_point_cached_hier(p, tri_verts, tri_cent, tri_rad, gcenter,
-                              gradius, cache: CPCache, n_groups: int = 32,
-                              query_tile: int = 4096):
-    """closest_point_cached with the hierarchical refresh (for batches that
-    carry host-built triangle groups — see build_tri_groups)."""
-    k = int(cache.idx.shape[1])
-    tri_verts = tri_verts.astype(p.dtype)
+@partial(jax.jit, static_argnames=("sub_size", "query_tile"))
+def closest_point_cached_group(p, tri_blk, cent_blk, rad_blk, gcenter,
+                               gradius, cache: CPCacheGroup,
+                               sub_size: int = 8, query_tile: int = 4096):
+    """Exact closest point via the subgroup-granular candidate cache;
+    self-refreshing (see CPCacheGroup). tri_blk is the Morton-grouped
+    (G, S, 3, 3) triangle array from build_tri_groups (far-padded slots
+    exclude themselves by distance); cent_blk/rad_blk the matching
+    per-triangle bound data used by the refresh."""
+    ng = int(cache.gidx.shape[1])
+    tri_blk = tri_blk.astype(p.dtype)
+    tri_sub = tri_blk.reshape(-1, sub_size, 3, 3)
     moved = jnp.sqrt(jnp.sum((p - cache.p0) ** 2, axis=-1))
     need = jnp.any(2.0 * moved >= cache.slack)
 
     def refresh(_):
-        return _cp_refresh_hier(p, tri_verts, tri_cent.astype(p.dtype),
-                                tri_rad.astype(p.dtype),
-                                gcenter.astype(p.dtype),
-                                gradius.astype(p.dtype),
-                                k, n_groups, query_tile)
+        return _cp_refresh_group(p, tri_blk, cent_blk.astype(p.dtype),
+                                 rad_blk.astype(p.dtype),
+                                 gcenter.astype(p.dtype),
+                                 gradius.astype(p.dtype), ng, sub_size,
+                                 query_tile)
 
     def fast(_):
         P = p.shape[0]
         qt = min(query_tile, max(P, 1))
         pad_q = (-P) % qt
         pq = jnp.pad(p, ((0, pad_q), (0, 0))).reshape(-1, qt, 3)
-        idx = jnp.pad(cache.idx, ((0, pad_q), (0, 0))).reshape(-1, qt, k)
+        gi = jnp.pad(cache.gidx, ((0, pad_q), (0, 0))).reshape(-1, qt, ng)
 
         def per_chunk(args):
-            pc, ic = args
-            q, _ = _closest_point_candidates(pc, tri_verts[ic])
+            pc, gc = args
+            q, _ = _closest_point_candidates(pc,
+                                             _gather_sub_tris(tri_sub, gc))
             return q
 
-        q = jax.lax.map(per_chunk, (pq, idx)).reshape(-1, 3)[:P]
+        q = jax.lax.map(per_chunk, (pq, gi)).reshape(-1, 3)[:P]
         return q, cache
 
     return jax.lax.cond(need, refresh, fast, None)

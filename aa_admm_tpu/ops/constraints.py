@@ -326,20 +326,23 @@ class RefSurfaceBatch:
     idx: jnp.ndarray        # (C,)
     w: jnp.ndarray          # (C,)
     tri_verts: jnp.ndarray  # (T, 3, 3) reference surface triangles
-    # Host-built spatial groups for the hierarchical candidate-cache refresh
+    # Host-built spatial groups for the group-granular candidate cache
     # (build_tri_groups; None for small meshes). grp_tris is Morton-permuted
-    # + far-padded to a multiple of the group size — a separate copy because
-    # the FAR pads would poison the plain 2-stage path's centered expansion.
-    grp_tris: Optional[jnp.ndarray] = None     # (Tp, 3, 3)
-    grp_cent: Optional[jnp.ndarray] = None     # (Tp, 3)
-    grp_rad: Optional[jnp.ndarray] = None      # (Tp,)
+    # + far-padded, blocked (G, S, 3, 3) — a separate copy because the FAR
+    # pads would poison the plain 2-stage path's centered expansion.
+    grp_tris: Optional[jnp.ndarray] = None     # (G, S, 3, 3)
+    grp_cent: Optional[jnp.ndarray] = None     # (G, S, 3)
+    grp_rad: Optional[jnp.ndarray] = None      # (G, S)
     grp_gcenter: Optional[jnp.ndarray] = None  # (G, 3)
     grp_gradius: Optional[jnp.ndarray] = None  # (G,)
     tile: int = _static(default=2048)
+    cp_groups: int = _static(default=8)        # NG candidate subgroups/query
+    cp_sub: int = _static(default=8)           # triangles per subgroup
 
     @classmethod
     def create(cls, idx, weight, ref_verts, ref_faces, dtype=np.float64,
-               tile: int = 2048):
+               tile: int = 2048, group_size: int = 64, sub_size: int = 8,
+               cp_groups: int = 8):
         C = len(idx)
         rv = np.asarray(ref_verts, dtype)
         rf = np.asarray(ref_faces, np.int64)
@@ -348,12 +351,18 @@ class RefSurfaceBatch:
         grp = {}
         if len(rf) > _CP_2STAGE_THRESHOLD:
             from .closest_point import build_tri_groups
-            tp, cent, rad, gc, gr = build_tri_groups(rv[rf])
-            grp = dict(grp_tris=jnp.asarray(tp.astype(dtype)),
-                       grp_cent=jnp.asarray(cent.astype(dtype)),
-                       grp_rad=jnp.asarray(rad.astype(dtype)),
+            tp, cent, rad, gc, gr = build_tri_groups(rv[rf],
+                                                     group_size=group_size)
+            G = len(gc)
+            S = group_size
+            grp = dict(grp_tris=jnp.asarray(
+                           tp.reshape(G, S, 3, 3).astype(dtype)),
+                       grp_cent=jnp.asarray(
+                           cent.reshape(G, S, 3).astype(dtype)),
+                       grp_rad=jnp.asarray(rad.reshape(G, S).astype(dtype)),
                        grp_gcenter=jnp.asarray(gc.astype(dtype)),
-                       grp_gradius=jnp.asarray(gr.astype(dtype)))
+                       grp_gradius=jnp.asarray(gr.astype(dtype)),
+                       cp_groups=cp_groups, cp_sub=sub_size)
         out = cls(idx=jnp.asarray(idx_h), w=jnp.asarray(w),
                   tri_verts=jnp.asarray(rv[rf]), tile=tile, **grp)
         return _host_mirror(out, idx=idx_h, w=w)
@@ -382,23 +391,28 @@ class RefSurfaceBatch:
 
     def cp_cache_init(self, dtype):
         """Candidate cache for in-loop projections, or None when the mesh is
-        small enough that the one-shot brute-force sweep is already cheap."""
-        from .closest_point import cp_cache_init
+        small enough that the one-shot brute-force sweep is already cheap.
+        With host-built groups the cache is group-granular (CPCacheGroup) —
+        tiny carried state, block-gathered candidates."""
+        from .closest_point import cp_cache_group_init, cp_cache_init
         T = int(self.tri_verts.shape[0])
         if T <= _CP_2STAGE_THRESHOLD:
             return None
+        if self.grp_tris is not None:
+            return cp_cache_group_init(int(self.idx.shape[0]),
+                                       self.cp_groups, dtype)
         return cp_cache_init(int(self.idx.shape[0]), min(48, T), dtype)
 
     def project_cached(self, p, cache):
         """project() through the movement-bounded candidate cache — exact,
-        self-refreshing (see closest_point.CPCache). Returns (proj, cache).
-        With host-built groups the refresh is hierarchical (group bounds ->
-        per-triangle bounds -> exact top-k) instead of a flat (Q, T) sweep."""
+        self-refreshing (see closest_point.CPCache/CPCacheGroup). Returns
+        (proj, cache)."""
         if self.grp_tris is not None:
-            from .closest_point import closest_point_cached_hier
-            q, cache = closest_point_cached_hier(
+            from .closest_point import closest_point_cached_group
+            q, cache = closest_point_cached_group(
                 p[:, 0], self.grp_tris, self.grp_cent, self.grp_rad,
-                self.grp_gcenter, self.grp_gradius, cache)
+                self.grp_gcenter, self.grp_gradius, cache,
+                sub_size=self.cp_sub)
         else:
             from .closest_point import closest_point_cached
             q, cache = closest_point_cached(p[:, 0], self.tri_verts, cache)

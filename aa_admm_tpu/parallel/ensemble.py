@@ -239,16 +239,29 @@ def dryrun(n_devices: int) -> None:
             return reps * s64.admm_iters / (_time.perf_counter() - t0)
         r1, rn = _rate(ref_fn, solver64.system), _rate(sh_fn, sys_sh)
         # Collective count must come from the POST-partitioning HLO (the
-        # pre-SPMD stablehlo has no collectives yet).
+        # pre-SPMD stablehlo has no collectives yet). Count INSTRUCTIONS
+        # (" all-reduce(" definitions), not substring occurrences — operand
+        # references and tuple-gets inflated the r3 numbers ~4x.
         hlo = sh_fn.lower(sys_sh, *args64).compile().as_text()
-        n_psum = hlo.count("all-reduce")
+        n_psum = sum(1 for ln in hlo.splitlines()
+                     if " all-reduce(" in ln or " all-reduce-start(" in ln)
+        # Canary threshold (VERDICT r3 #4): the 3-iteration step module
+        # carries ~{scatter, prim, comb, AA-dot, setup} reductions; XLA's
+        # AllReduceCombiner merges the adjacent ones. Collective bloat
+        # (e.g. an unfused reduction sneaking into the loop body) fails
+        # loudly here instead of silently regressing multi-chip scaling.
+        assert n_psum <= 15, (
+            f"{order}: all-reduce count {n_psum} exceeds the canary "
+            f"threshold 15 — a reduction was likely un-fused")
         print(f"dryrun[{order}]: sharded-vs-unsharded max|dx|={dx:.3e} "
               f"max|dprim|={dprim:.3e}; iters/s 1dev={r1:.1f} "
               f"{n_devices}dev={rn:.1f} (virtual CPU mesh, overhead canary); "
-              f"all-reduces in module={n_psum}", flush=True)
+              f"all-reduce instructions in module={n_psum}", flush=True)
+        # Fixed keys ("ref"/"sharded"): a dynamic f"..._{n_devices}dev" key
+        # collides with the 1-device reference rate when n_devices == 1.
         summary[order] = {"max_dx": dx, "max_dprim": dprim,
-                          "iters_per_s_1dev": round(r1, 1),
-                          f"iters_per_s_{n_devices}dev": round(rn, 1),
+                          "iters_per_s_ref": round(r1, 1),
+                          "iters_per_s_sharded": round(rn, 1),
                           "all_reduces": n_psum}
 
     # One machine-readable line for the multichip artifact. Any XLA:CPU AOT

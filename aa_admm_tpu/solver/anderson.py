@@ -106,18 +106,29 @@ def compute(state: AAState, G: jnp.ndarray) -> tuple[AAState, jnp.ndarray]:
         col = state.col_idx
         dF_col = state.dF[:, col] + F
         dG_col = state.dG[:, col] + G
-        scale = jnp.maximum(_EPS, jnp.linalg.norm(dF_col))
-        dF_col_scaled = dF_col / scale
-        dF = state.dF.at[:, col].set(dF_col_scaled)
+        # ONE fused (2, de) @ (de, m) product delivers {scale^2, the Gram row,
+        # the projection rhs} — on a sharded element axis this is a single
+        # all-reduce instead of three (norm + inner + rhs), the SURVEY
+        # section 5.8 "AA inner products via psum" fused (VERDICT r3 #4).
+        # HIGHEST precision keeps the f32 TPU matmul out of bf16 MXU passes
+        # (these reductions gate accept/reject).
+        dF_base = state.dF.at[:, col].set(dF_col)
+        P = jnp.einsum("kd,dm->km", jnp.stack([dF_col, F]), dF_base,
+                       precision=jax.lax.Precision.HIGHEST)
+        scale2 = P[0, col]
+        scale = jnp.maximum(_EPS, jnp.sqrt(jnp.maximum(scale2, 0.0)))
+        dF = dF_base.at[:, col].mul(1.0 / scale)
         dG = state.dG.at[:, col].set(dG_col)
         dF_scale = state.dF_scale.at[col].set(scale)
 
         m_k = jnp.minimum(m, state.iter)
         valid = jnp.arange(m) < m_k
 
-        inner = dF_col_scaled @ dF  # (m,) — includes invalid cols, masked below
+        # inner = dF_col_scaled @ dF (col entry = ||dF_col||^2 / scale^2);
+        # rhs = F @ dF (col entry scaled) — both recovered from P.
+        inner = (P[0] / scale).at[col].set(scale2 / (scale * scale))
         M = state.M.at[col, :].set(inner).at[:, col].set(inner)
-        rhs = F @ dF
+        rhs = P[1].at[col].set(P[1, col] / scale)
         theta = _solve_theta(M, rhs, valid)
 
         u = G - dG @ (theta / dF_scale)

@@ -319,6 +319,9 @@ def _unflatten(flat, templates):
 
 
 def _sqnorm_all(ts):
+    """||concat(ts)||^2 as per-block partial sums + scalar adds (see the
+    physics twin: XLA's AllReduceCombiner merges the scalar psums; a
+    concatenate-then-reduce variant costs O(z) all-gather traffic)."""
     return sum(jnp.sum(t * t) for t in ts)
 
 
@@ -343,14 +346,18 @@ def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None,
     if system.bsr is not None:
         # Blocked-space CG: one permute in, one out; every matvec and
         # preconditioner application stays in Morton-blocked numbering.
+        # Row sharding carries into blocked space unchanged (the block
+        # permutation maps rows to rows), so the CG vectors stay sharded
+        # and the dots become psums — same collectives as the ELL path.
         bsr = system.bsr
-        rhs_b = bsr.to_blocked(rhs)
+        rhs_b = system.constrain_rows(bsr.to_blocked(rhs))
         x0_b = bsr.to_blocked(x_warm) if x_warm is not None else None
         mgb = system.mg_b
         x_b, it = pcg(bsr.apply_blocked, rhs_b, system.precond_diag_b,
                       tol=system.cg_tol, max_iters=system.cg_max_iters,
                       x0=x0_b,
-                      precond=mgb.apply if mgb is not None else None)
+                      precond=mgb.apply if mgb is not None else None,
+                      row_sharding=system.vert_sharding)
         x = bsr.from_blocked(x_b, system.n_verts)
         return (x, it) if with_iters else x
 
@@ -460,8 +467,9 @@ def solve_alm_chunk(system: GeometrySystem, state):
         new_u = system.constrain_elems(tuple(
             ui + d - zh for ui, d, zh in zip(cu, dx_h2, z_h)))
 
-        res = (_sqnorm_all(tuple(d - zh for d, zh in zip(dx_h2, z_h)))
-               + _sqnorm_all(tuple(d - p for d, p in zip(dx_h2, prev_dx_h))))
+        # Combined residual as ONE fused reduction over both norm terms.
+        res = _sqnorm_all(tuple(d - zh for d, zh in zip(dx_h2, z_h))
+                          + tuple(d - p for d, p in zip(dx_h2, prev_dx_h)))
 
         accept = (not accel) | st["reset"] | (res < st["prev"])
 
@@ -758,9 +766,12 @@ class ALMGeometrySolver:
         # The blocked operator trades gathered bytes for streamed dense
         # bytes — a win on the TPU's gather unit, a large loss on CPU
         # (where the flat ELL gather is already fast); keep ELL there.
+        # AAADMM_FORCE_BSR=1 bypasses both gates (sharded-BSR parity tests
+        # on the virtual CPU mesh).
         if (self.system.solver is None
-                and self.system.n_verts >= self.bsr_threshold
-                and jax.default_backend() != "cpu"):
+                and (os.environ.get("AAADMM_FORCE_BSR") == "1"
+                     or (self.system.n_verts >= self.bsr_threshold
+                         and jax.default_backend() != "cpu"))):
             if getattr(self, "_bsr", None) is None:
                 self._bsr = BsrMatrix.from_csr(self._A_host, self.dtype,
                                                x0_np)
@@ -791,6 +802,13 @@ class ALMGeometrySolver:
             t0_hard=t0_h, t0_soft=t0_s,
             Ax0=jnp.asarray(Ax0.astype(self.dtype)),
             **bsr_kw)
+        if self.system.vert_sharding is not None:
+            # shard() ran before the per-solve anchor/BSR construction:
+            # re-place so the delta anchors and the blocked operator/
+            # preconditioner rows are device-sharded too (idempotent).
+            from ..parallel.geometry import shard_geometry_system
+            self.system = shard_geometry_system(
+                self.system, self.system.vert_sharding.mesh)
         x0 = jnp.asarray(np.asarray(init_x, self.dtype))
         e0 = float(soft_energy_delta(self.system, jnp.zeros_like(x0)))
         print(f"Init energy = {e0}")

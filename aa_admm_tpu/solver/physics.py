@@ -154,6 +154,13 @@ def _tmap(fn, *trees):
 
 
 def _sqnorm_all(ts):
+    """||concat(ts)||^2. Per-block partial sums + scalar adds: under an
+    element-sharded mesh each block reduces locally and XLA's
+    AllReduceCombiner merges the adjacent scalar all-reduces into one
+    (verified in the lowered zxu module: the paired scatter reductions
+    lower to a single tuple all-reduce). A concatenate-then-reduce variant
+    was tried and rejected: GSPMD all-gathers the full blocks to stitch
+    shards of different sizes — O(z) ICI traffic instead of O(1)."""
     return sum(jnp.sum(t * t) for t in ts)
 
 
@@ -336,13 +343,12 @@ def _xzu_body(system: PhysicsSystem, consts):
                 comb_z = _update_z(system, comb_x, cu)
                 dual = _tmap(lambda b, a, c: _wx(b, a - c),
                              system.batches, comb_z, ndz)
-                comb = (_sqnorm_all(dual)
-                        + _sqnorm_all(_prim_vec(system, comb_x, comb_z)))
+                # tuple-concat: one fused reduction for both norm terms
+                comb = _sqnorm_all(dual + _prim_vec(system, comb_x, comb_z))
             else:
                 dual = _tmap(lambda b, a, c: _wx(b, a - c),
                              system.batches, cz, last_z)
-                comb = (_sqnorm_all(dual)
-                        + _sqnorm_all(_prim_vec(system, cx, cz)))
+                comb = _sqnorm_all(dual + _prim_vec(system, cx, cz))
         else:
             comb = jnp.asarray(jnp.inf, x.dtype)
 
@@ -502,7 +508,7 @@ def _j_winv_grad(system, z):
 @_jax_mod.jit
 def _j_comb(system, x_full, z, z_ref):
     dual = _tmap(lambda b, a, c: _wx(b, a - c), system.batches, z, z_ref)
-    return _sqnorm_all(dual) + _sqnorm_all(_prim_vec(system, x_full, z))
+    return _sqnorm_all(dual + _prim_vec(system, x_full, z))
 
 
 @_jax_mod.jit
@@ -511,7 +517,7 @@ def _j_comb_zxu(system, x_full, last_x, z):
     (admm_anderson_hard_zxu/src/Solver.cpp:181-185)."""
     dual = _tmap(lambda b, a, c: _wx(b, a - c), system.batches,
                  system.deform(x_full), system.deform(last_x))
-    return _sqnorm_all(_prim_vec(system, x_full, z)) + _sqnorm_all(dual)
+    return _sqnorm_all(_prim_vec(system, x_full, z) + dual)
 
 
 def step_zxu_instrumented(system: PhysicsSystem, x, v, pin_pos,
@@ -679,7 +685,7 @@ def _zxu_body(system: PhysicsSystem, consts):
         dual_F = system.deform(cx)
         last_F = system.deform(last_x)
         dual = _tmap(lambda b, a, c: _wx(b, a - c), system.batches, dual_F, last_F)
-        comb = _sqnorm_all(prim_v) + _sqnorm_all(dual)
+        comb = _sqnorm_all(prim_v + dual)   # one fused reduction
         done_now = comb < _EPS_BREAK
 
         # u-update + AA happen only if the eps-break did not fire
@@ -1201,13 +1207,21 @@ class PhysicsSolver:
     # "n" then rows "z u last_z"; file 2 = "n" then rows of x).
 
     def save_admm_state(self, file_zu: str, file_x: str,
-                        at_iteration: int = 0):
+                        at_iteration: int = 0, aa_file: str = None):
         """Run one timestep, dumping the mid-step ADMM state after
         `at_iteration` ADMM iterations as reference-compatible 16-digit
         text. The step still completes all admm_iters iterations and
         commits exactly like step(). A solver seeded with the dump via
         load_admm_state (admm_iters = remaining iterations) replays the
-        tail of this step."""
+        tail of this step.
+
+        aa_file (optional, SURVEY section 5.4 / VERDICT r3 #8): an .npz
+        sidecar holding the FULL loop carry — AA history (dF, dG, scales,
+        M, ring index, iteration counter), the rollback anchors (dx, du,
+        dz), the last accepted residual and reset counters — so an
+        ACCELERATED run's tail replay is bitwise-exact, not AA-restarted
+        (the text dump alone matches the reference format, which carries
+        no AA state)."""
         from ..core.checkpoint import save_admm_state_text
         assert self.initialized
         if self._selfcol_index is not None:
@@ -1230,6 +1244,11 @@ class PhysicsSolver:
                              np.asarray(_flatten(carry["u"])),
                              np.asarray(_flatten(last_z)),
                              np.asarray(carry["x"]))
+        if aa_file:
+            leaves = jax.tree_util.tree_leaves(carry)
+            np.savez_compressed(aa_file, n_leaves=len(leaves),
+                                **{f"leaf{i}": np.asarray(l)
+                                   for i, l in enumerate(leaves)})
         if iters - k:
             carry, ys = _step_scan_chunk(self.system, carry, consts,
                                          length=iters - k)
@@ -1242,12 +1261,16 @@ class PhysicsSolver:
         self._finish_step(x_new, v_new, trace, t.elapsed_ms())
         return trace
 
-    def load_admm_state(self, file_zu: str, file_x: str):
+    def load_admm_state(self, file_zu: str, file_x: str,
+                        aa_file: str = None):
         """Load a mid-step ADMM dump; the NEXT step() starts its ADMM loop
         from the loaded (z, u, last_z, x) instead of the init sweep,
         running the configured admm_iters further iterations (AA restarts
         — the mixing history is not part of the reference dump either).
-        Raises ValueError on size mismatch, like the reference."""
+        With the optional .npz sidecar (see save_admm_state) the full
+        carry — AA history included — is restored instead, making an
+        accelerated tail replay bitwise-exact. Raises ValueError on size
+        mismatch, like the reference."""
         from ..core.checkpoint import load_admm_state_text
         assert self.initialized
         z, u, last_z, x = load_admm_state_text(file_zu, file_x)
@@ -1258,32 +1281,50 @@ class PhysicsSolver:
             raise ValueError("Error: invalid number or values")
         if x.size != self.system.n_verts * 3:
             raise ValueError("Error: invalid number or values from file 2")
-        self._admm_seed = (z, u, last_z, x)
+        aa_leaves = None
+        if aa_file:
+            with np.load(aa_file) as d:
+                aa_leaves = [d[f"leaf{i}"]
+                             for i in range(int(d["n_leaves"]))]
+        self._admm_seed = (z, u, last_z, x, aa_leaves)
 
     def _step_seeded(self, seed):
         """One timestep whose ADMM loop starts from a loaded mid-step
         state. consts (prediction, pin embedding) still come from the
         current (x, v) — identical to the step the dump was taken from
         when (x, v) match."""
-        zf, uf, lzf, xf = seed
+        zf, uf, lzf, xf, aa_leaves = seed
         x0 = self._x_dev
         carry, consts = _step_setup(self.system, x0, self._v_dev,
                                     jnp.asarray(self.pin_pos))
-        dtype = carry["x"].dtype
-        zt = _unflatten(jnp.asarray(zf, dtype), carry["z"])
-        ut = _unflatten(jnp.asarray(uf, dtype), carry["u"])
-        lzt = _unflatten(jnp.asarray(lzf, dtype), carry["z"])
-        x_full = jnp.asarray(xf, dtype).reshape(self.system.n_verts, 3)
-        carry = dict(carry, x=x_full, z=zt, u=ut, dx=x_full, du=ut)
-        if "dz" in carry:
-            carry["dz"] = lzt
-            aa = anderson.init(self.system.anderson_m, _flatten(zt))
+        if aa_leaves is not None:
+            # Full-carry restore: the sidecar leaves slot into the template
+            # carry's tree structure (same system topology/settings), so
+            # the replay continues the accelerated loop bitwise-exactly.
+            template_leaves, treedef = jax.tree_util.tree_flatten(carry)
+            if len(aa_leaves) != len(template_leaves) or any(
+                    t.shape != l.shape for t, l in
+                    zip(template_leaves, aa_leaves)):
+                raise ValueError("Error: invalid number or values")
+            carry = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(l, t.dtype) for t, l in
+                          zip(template_leaves, aa_leaves)])
         else:
-            zu_size = sum(int(np.prod(t.shape)) for t in ut)
-            aa = anderson.init(max(self.system.anderson_m, 1),
-                               _flat_ux(ut, x_full[self.system.free_idx]),
-                               effective_dim=zu_size)
-        carry["aa"] = aa
+            dtype = carry["x"].dtype
+            zt = _unflatten(jnp.asarray(zf, dtype), carry["z"])
+            ut = _unflatten(jnp.asarray(uf, dtype), carry["u"])
+            lzt = _unflatten(jnp.asarray(lzf, dtype), carry["z"])
+            x_full = jnp.asarray(xf, dtype).reshape(self.system.n_verts, 3)
+            carry = dict(carry, x=x_full, z=zt, u=ut, dx=x_full, du=ut)
+            if "dz" in carry:
+                carry["dz"] = lzt
+                aa = anderson.init(self.system.anderson_m, _flatten(zt))
+            else:
+                zu_size = sum(int(np.prod(t.shape)) for t in ut)
+                aa = anderson.init(max(self.system.anderson_m, 1),
+                                   _flat_ux(ut, x_full[self.system.free_idx]),
+                                   effective_dim=zu_size)
+            carry["aa"] = aa
         carry, (prims, combs, rejects) = _step_scan_chunk(
             self.system, carry, consts, length=self.system.admm_iters)
         return _step_commit(self.system, carry, x0, prims, combs, rejects)

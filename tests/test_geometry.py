@@ -289,27 +289,32 @@ def test_chunked_matches_single_dispatch():
 
 @pytest.mark.skipif(not __import__("os").path.exists(DATA_GEO),
                     reason="reference data not mounted")
-def test_closest_point_cached_hier_exact_and_refreshes():
-    """The movement-bounded candidate cache with hierarchical refresh must
-    (a) equal brute force right after a refresh, (b) stay exact on the fast
-    path for small motions, and (c) self-refresh (stay exact) after a large
-    motion that invalidates every slack bound."""
+def test_closest_point_cached_group_exact_and_refreshes():
+    """The group-granular movement-bounded candidate cache must (a) equal
+    brute force right after a refresh, (b) stay exact on the fast path for
+    small motions, and (c) self-refresh (stay exact) after a large motion
+    that invalidates every slack bound."""
     import jax.numpy as jnp
     from aa_admm_tpu.core.meshio import load_obj
     from aa_admm_tpu.ops.closest_point import (build_tri_groups,
-                                               closest_point_cached_hier,
+                                               closest_point_cached_group,
                                                closest_point_on_mesh,
-                                               cp_cache_init)
+                                               cp_cache_group_init)
     ref = load_obj(DATA_GEO + "/PQMeshData/trimesh/costa2k_tri.obj")
-    tp, cent, rad, gc, gr = build_tri_groups(ref.verts[ref.faces])
-    tp, cent, rad, gc, gr = map(jnp.asarray, (tp, cent, rad, gc, gr))
+    S = 64
+    tp, cent, rad, gc, gr = build_tri_groups(ref.verts[ref.faces],
+                                             group_size=S)
+    tb = jnp.asarray(tp.reshape(-1, S, 3, 3))
+    cb = jnp.asarray(cent.reshape(-1, S, 3))
+    rb = jnp.asarray(rad.reshape(-1, S))
+    gc, gr = jnp.asarray(gc), jnp.asarray(gr)
     rng = np.random.default_rng(5)
     lo, hi = ref.verts.min(0), ref.verts.max(0)
     q = jnp.asarray(lo + (hi - lo) * rng.random((300, 3)))
     tri = jnp.asarray(ref.verts[ref.faces])
 
-    cache = cp_cache_init(300, 48, np.float64)
-    out, cache = closest_point_cached_hier(q, tp, cent, rad, gc, gr, cache)
+    cache = cp_cache_group_init(300, 8, np.float64)
+    out, cache = closest_point_cached_group(q, tb, cb, rb, gc, gr, cache)
     d_brute = np.linalg.norm(np.asarray(q) - np.asarray(
         closest_point_on_mesh(q, tri)), axis=1)
     d = np.linalg.norm(np.asarray(q) - np.asarray(out), axis=1)
@@ -320,14 +325,12 @@ def test_closest_point_cached_hier_exact_and_refreshes():
     # motion takes the fast path and stays exact.
     qn = jnp.asarray(np.asarray(out) + 0.02 * (np.asarray(q) -
                                                np.asarray(out)))
-    cache_n = cp_cache_init(300, 48, np.float64)
-    _, cache_n = closest_point_cached_hier(qn, tp, cent, rad, gc, gr,
-                                           cache_n)
+    cache_n = cp_cache_group_init(300, 8, np.float64)
+    _, cache_n = closest_point_cached_group(qn, tb, cb, rb, gc, gr, cache_n)
     assert np.median(np.asarray(cache_n.slack)) > 0
     step = 0.2 * float(np.median(np.asarray(cache_n.slack)))
     q2 = qn + step * jnp.asarray([1.0, 0.0, 0.0])
-    out2, cache2 = closest_point_cached_hier(q2, tp, cent, rad, gc, gr,
-                                             cache_n)
+    out2, cache2 = closest_point_cached_group(q2, tb, cb, rb, gc, gr, cache_n)
     d2b = np.linalg.norm(np.asarray(q2) - np.asarray(
         closest_point_on_mesh(q2, tri)), axis=1)
     d2 = np.linalg.norm(np.asarray(q2) - np.asarray(out2), axis=1)
@@ -335,8 +338,7 @@ def test_closest_point_cached_hier_exact_and_refreshes():
 
     # (c) large motion -> refresh fires, still exact, cache re-anchored
     q3 = qn + 0.5 * (hi - lo)
-    out3, cache3 = closest_point_cached_hier(q3, tp, cent, rad, gc, gr,
-                                             cache2)
+    out3, cache3 = closest_point_cached_group(q3, tb, cb, rb, gc, gr, cache2)
     d3b = np.linalg.norm(np.asarray(q3) - np.asarray(
         closest_point_on_mesh(q3, tri)), axis=1)
     d3 = np.linalg.norm(np.asarray(q3) - np.asarray(out3), axis=1)

@@ -75,6 +75,34 @@ def test_geometry_sharded_matches_single():
     assert np.allclose(x8, x1, rtol=1e-9, atol=1e-10)
 
 
+def test_geometry_bsr_sharded_matches_single(monkeypatch):
+    """The Morton-blocked (BSR) global-step path — the one actually used at
+    wiremesh scale on TPU — sharded over the virtual 8-device mesh must
+    reproduce the unsharded BSR trajectory to f64 roundoff (VERDICT r3 #5:
+    previously this path was single-device only)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from aa_admm_tpu.parallel.geometry import make_vert_mesh
+
+    monkeypatch.setenv("AAADMM_FORCE_BSR", "1")
+    solver, verts = _build_wire_solver()
+    x1, fv1 = _run(solver, verts)
+    assert solver.system.bsr is not None, "force-BSR gate did not engage"
+
+    solver8, _ = _build_wire_solver()
+    solver8.shard(make_vert_mesh(8))
+    x8, fv8 = _run(solver8, verts)
+    assert solver8.system.bsr is not None
+    # Block-rows actually sharded (not replicated) on the virtual mesh.
+    spec = solver8.system.bsr.a_loc.sharding.spec
+    assert len(spec) >= 1 and spec[0] == "elem", \
+        solver8.system.bsr.a_loc.sharding
+
+    assert fv1.shape == fv8.shape
+    assert np.allclose(fv8, fv1, rtol=1e-8), np.abs(fv8 / fv1 - 1).max()
+    assert np.allclose(x8, x1, rtol=1e-9, atol=1e-10)
+
+
 def test_geometry_sharding_constraints_survive_compilation():
     """The lowered ALM chunk must retain in-loop row/element sharding
     constraints — post-compile sharding inspection, not input annotation."""

