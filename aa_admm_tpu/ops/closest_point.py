@@ -178,7 +178,7 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
         # (vs the 0.95 default-ish setting) guards the tied-at-zero case
         # where a query sits inside many bounding spheres; accuracy vs brute
         # force is pinned by tests on the real benchmark meshes, including a
-        # TPU-gated run (tests/test_closest_point_tpu.py) since the CPU
+        # TPU-gated run (tests_tpu/test_closest_point_tpu.py) since the CPU
         # lowering of approx_min_k is an exact sort and cannot catch TPU
         # recall misses.
         _, idx = jax.lax.approx_min_k(lower, k, recall_target=0.999)  # (q, k)
@@ -385,17 +385,16 @@ def _cp_refresh_group(p, tri_blk, cent_blk, rad_blk, gcenter, gradius,
         idx = jnp.take_along_axis(slots, j, axis=1)
         q, sqd = _closest_point_candidates(
             pc, tri_blk.reshape(-1, 3, 3)[idx])
-        # Cache-subgroup selection: score = best member bound.
+        # Cache-subgroup selection: score = best member per-triangle bound.
+        # The excluded-set margin is then exactly the (NG+1)-th best score:
+        # min over triangles outside the cached subgroups (within the g0
+        # groups) = min over non-selected subgroups of their best member.
         sub_score = lower.reshape(qn, -1, sub_size).min(-1)     # (q, g0*n)
         sslots = (gsel[..., None] * n_per_g
                   + jnp.arange(n_per_g, dtype=gsel.dtype)).reshape(qn, -1)
-        _, js = jax.lax.top_k(-sub_score, ng)
-        gidx = jnp.take_along_axis(sslots, js, axis=1)          # (q, NG)
-        # Tight excluded-set margin from the per-triangle bounds.
-        tri_sub_id = slots // sub_size                          # (q, g0*S)
-        in_cache = jnp.any(tri_sub_id[:, :, None] == gidx[:, None, :], -1)
-        excl_tri = jnp.min(jnp.where(in_cache, jnp.inf, lower), axis=1)
-        excl = jnp.minimum(excl_tri, excl_group)
+        negs, js = jax.lax.top_k(-sub_score, ng + 1)
+        gidx = jnp.take_along_axis(sslots, js[:, :ng], axis=1)  # (q, NG)
+        excl = jnp.minimum(-negs[:, ng], excl_group)
         slack = excl - jnp.sqrt(sqd)
         return q, gidx, slack
 
@@ -406,15 +405,24 @@ def _cp_refresh_group(p, tri_blk, cent_blk, rad_blk, gcenter, gradius,
                          p0=p, slack=slack.reshape(-1)[:P]))
 
 
-@partial(jax.jit, static_argnames=("sub_size", "query_tile"))
+@partial(jax.jit, static_argnames=("sub_size", "query_tile", "fast_tile"))
 def closest_point_cached_group(p, tri_blk, cent_blk, rad_blk, gcenter,
                                gradius, cache: CPCacheGroup,
-                               sub_size: int = 8, query_tile: int = 4096):
+                               sub_size: int = 16, query_tile: int = 8192,
+                               fast_tile: int = 32768):
     """Exact closest point via the subgroup-granular candidate cache;
     self-refreshing (see CPCacheGroup). tri_blk is the Morton-grouped
     (G, S, 3, 3) triangle array from build_tri_groups (far-padded slots
     exclude themselves by distance); cent_blk/rad_blk the matching
-    per-triangle bound data used by the refresh."""
+    per-triangle bound data used by the refresh.
+
+    Tile sizes matter enormously here: a sequential ``lax.map`` over many
+    small chunks costs ~10x over the same math in one fused kernel
+    (measured 190ms vs 19ms for the 230k x 64 Ericson sweep —
+    tools/bench_gather*.py), while fully unchunked intermediates blow the
+    compile-time memory budget. The fast path uses a few LARGE tiles
+    (fast_tile); the (rare) refresh keeps moderate tiles because its
+    (q, g0*S) bound matrices and block gathers are much wider."""
     ng = int(cache.gidx.shape[1])
     tri_blk = tri_blk.astype(p.dtype)
     tri_sub = tri_blk.reshape(-1, sub_size, 3, 3)
@@ -430,7 +438,7 @@ def closest_point_cached_group(p, tri_blk, cent_blk, rad_blk, gcenter,
 
     def fast(_):
         P = p.shape[0]
-        qt = min(query_tile, max(P, 1))
+        qt = min(fast_tile, max(P, 1))
         pad_q = (-P) % qt
         pq = jnp.pad(p, ((0, pad_q), (0, 0))).reshape(-1, qt, 3)
         gi = jnp.pad(cache.gidx, ((0, pad_q), (0, 0))).reshape(-1, qt, ng)

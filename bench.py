@@ -11,7 +11,9 @@ this host in BASELINE_local.json):
   plinkohit  zxu,  horse759 on plane+half-sphere, 13 it  -> iters/s
   plinkopony zxu,  horse759 through cylinder pegs, 13 it -> iters/s
   costa2k    ALM planarity (PlanarityOpt), 100 iters     -> solve seconds
-  wiremesh   ALM wire mesh (MaleTorso, 57,840 verts)     -> solve seconds
+  airport3k  ALM planarity, second PQ benchmark mesh     -> solve seconds
+  wiremesh   ALM wire mesh (MaleTorso, 230k verts after
+             subdivision)                                -> solve seconds
 
 vs_baseline per scene = (our iters/s / C++ iters/s) or (C++ s / our s);
 the aggregate is the geometric mean over the scenes that ran AND passed
@@ -23,7 +25,7 @@ in tests/ and tests_tpu/; the quality gates here are loose sanity bounds
 so a fast-but-wrong run can never post a speedup.
 
 Env:
-  AAADMM_BENCH_SCENES  comma list (default: all six)
+  AAADMM_BENCH_SCENES  comma list (default: all seven)
   AAADMM_PLATFORM      cpu to force CPU (TPU otherwise, via axon)
   AAADMM_DTYPE         float32 (default) | float64
 """
@@ -42,6 +44,7 @@ REF = "/root/reference/Geometry/Geometry_model"
 # whose converged errors exceed LOOSE x these must not post a speedup.
 _QUALITY_LOOSE = 3.0
 _COSTA2K_PLANARITY_MAX = 0.00408527
+_AIRPORT3K_PLANARITY_MAX = 0.00281271
 _WIREMESH_EDGE_MAX = 0.00212871
 _WIREMESH_ANGLE_MAX = 0.142833
 
@@ -321,24 +324,33 @@ def bench_plinkopony():
     return out, "plinkopony_iters_per_s", _zxu_value(out), ok and gok
 
 
-def bench_costa2k():
+def _planarity_scene(name, planarity_max_cpp):
     from aa_admm_tpu.apps.planarity_opt import (check_planarity_error,
                                                 optimize_mesh)
     from aa_admm_tpu.core.meshio import load_obj, load_obj_poly
     from aa_admm_tpu.core.polymesh import PolyMesh
-    verts, faces = load_obj_poly(f"{REF}/PQMeshData/polymesh/costa2k_poly.obj")
+    verts, faces = load_obj_poly(
+        f"{REF}/PQMeshData/polymesh/{name}_poly.obj")
     mesh = PolyMesh(verts=verts, faces=faces)
-    ref = load_obj(f"{REF}/PQMeshData/trimesh/costa2k_tri.obj")
+    ref = load_obj(f"{REF}/PQMeshData/trimesh/{name}_tri.obj")
     dtype = np.dtype(os.environ.get("AAADMM_DTYPE", "float32"))
     solver = optimize_mesh(mesh, ref.verts, ref.faces, 100, 5, dtype=dtype)
     solve_s = solver.elapsed_time[-1] if solver.elapsed_time else float("inf")
     pl_after, _ = check_planarity_error(mesh, solver.get_solution())
     pl_max = float(np.max(pl_after))
-    ok = pl_max <= _QUALITY_LOOSE * _COSTA2K_PLANARITY_MAX
+    ok = pl_max <= _QUALITY_LOOSE * planarity_max_cpp
     return ({"solve_s": round(float(solve_s), 3),
              "planarity_err_max": pl_max,
-             "planarity_err_max_cpp": _COSTA2K_PLANARITY_MAX},
-            "costa2k_planarity_100iters_s", float(solve_s), ok)
+             "planarity_err_max_cpp": planarity_max_cpp},
+            f"{name}_planarity_100iters_s", float(solve_s), ok)
+
+
+def bench_costa2k():
+    return _planarity_scene("costa2k", _COSTA2K_PLANARITY_MAX)
+
+
+def bench_airport3k():
+    return _planarity_scene("airport3k", _AIRPORT3K_PLANARITY_MAX)
 
 
 def bench_wiremesh():
@@ -386,11 +398,13 @@ SCENES = {
     "plinkohit": bench_plinkohit,
     "plinkopony": bench_plinkopony,
     "costa2k": bench_costa2k,
+    "airport3k": bench_airport3k,
     "wiremesh": bench_wiremesh,
 }
 
 # baseline keys measured in seconds: speedup = baseline / ours
 _TIME_METRICS = {"costa2k_planarity_100iters_s",
+                 "airport3k_planarity_100iters_s",
                  "maletorso_wiremesh_100iters_s"}
 
 

@@ -73,6 +73,8 @@ def main():
     solver = optimize_mesh(sub, ref.verts, ref.faces, max_iter=n_warm,
                            anderson_m=5, edge_length=edge_length,
                            dtype=dtype, chunk_iters=4)
+    # optimize_mesh applied the f32 CG budget (AAADMM_GEO_CG_ITERS); the
+    # system below carries it.
     print(f"setup+warm solve ({n_warm} iters): {time.time()-t0:.1f}s",
           flush=True)
 
