@@ -136,13 +136,14 @@ def optimize_mesh(mesh: PolyMesh, ref_verts, ref_faces, max_iter, anderson_m,
     if solver.setup_ADMM(mesh.n_verts(), penalty_parameter):
         # f32 (the TPU bench path) caps CG at a small warm-started budget:
         # measured on the real chip, 15-30 CG iters/ADMM iteration leave
-        # the converged wiremesh metrics unchanged while the safeguarded
-        # ALM loop absorbs the inexactness (tools/experiment_wiremesh.py
-        # section D: fv after 12 iters 6.785 @ 30 vs 6.789 @ 400). f64
-        # keeps the tight solve — the CPU golden-parity tests pin it.
+        # the converged wiremesh metrics within the quality gates while
+        # the safeguarded ALM loop absorbs the inexactness
+        # (tools/experiment_wiremesh.py section D; full-run gates in
+        # BENCH: edge_err_max 0.0028 at budget 15 vs C++ 0.0021, bound
+        # 3x). f64 keeps the tight solve — CPU golden-parity pins it.
         cg_cap = None
         if np.dtype(dtype) == np.float32:
-            cg_cap = int(os.environ.get("AAADMM_GEO_CG_ITERS", "20"))
+            cg_cap = int(os.environ.get("AAADMM_GEO_CG_ITERS", "15"))
         solver.solve_ADMM(p, rel_residual_eps, max_iter, anderson_m,
                           cg_max_iters=cg_cap, chunk_iters=chunk_iters)
         solver.save(anderson_m, result_dir)

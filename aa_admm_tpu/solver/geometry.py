@@ -781,8 +781,13 @@ class ALMGeometrySolver:
                      or (self.system.n_verts >= self.bsr_threshold
                          and jax.default_backend() != "cpu"))):
             if getattr(self, "_bsr", None) is None:
+                # deg_cap trades zero-padding bandwidth in a_loc against
+                # COO spill size: 9 streams 25% fewer a_loc bytes per
+                # matvec than 12 for the same converged quality (measured;
+                # AAADMM_BSR_CAP to experiment).
+                cap = int(os.environ.get("AAADMM_BSR_CAP", "9"))
                 self._bsr = BsrMatrix.from_csr(self._A_host, self.dtype,
-                                               x0_np)
+                                               x0_np, deg_cap=cap)
                 n_pad = self._bsr.n_pad
                 diag_b = np.ones(n_pad)
                 diag = np.asarray(self._A_host.diagonal())

@@ -172,7 +172,14 @@ def build_two_level(n_verts, hard, soft, rho, reg_rows, diag,
     spaces cut PCG iterations markedly on big meshes, while 8k keeps the
     one-time host Cholesky inversion of A_c under ~a minute."""
     if target_coarse is None:
-        target_coarse = int(np.clip(n_verts // 24, 4000, 8000))
+        import os
+        env = os.environ.get("AAADMM_MG_COARSE")
+        # 6000 cap: each preconditioner application streams the dense
+        # (nc, nc) coarse inverse, so nc^2 is a per-CG-iteration cost;
+        # 6000 (144 MB at f32, ~2.5 ms) beats 8000 (256 MB, ~4 ms) at
+        # equal converged quality under the capped-CG budget (measured).
+        target_coarse = (int(env) if env
+                         else int(np.clip(n_verts // 24, 4000, 6000)))
     from ..ops.constraints import assemble_geometry_node_matrix
     edges = collect_pair_edges(list(hard) + list(soft), reg_rows)
     agg = greedy_aggregate(n_verts, edges, target_coarse=target_coarse)
