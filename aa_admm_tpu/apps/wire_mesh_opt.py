@@ -139,8 +139,8 @@ def optimize_mesh(mesh: PolyMesh, ref_verts, ref_faces, max_iter, anderson_m,
         # the converged wiremesh metrics within the quality gates while
         # the safeguarded ALM loop absorbs the inexactness
         # (tools/experiment_wiremesh.py section D; full-run gates in
-        # BENCH: edge_err_max 0.0028 at budget 15 vs C++ 0.0021, bound
-        # 3x). f64 keeps the tight solve — CPU golden-parity pins it.
+        # BENCH: edge_err_max 0.0028-0.003 at budgets 12-15 vs C++
+        # 0.0021, bound 3x). f64 keeps the tight solve (CPU parity).
         cg_cap = None
         if np.dtype(dtype) == np.float32:
             cg_cap = int(os.environ.get("AAADMM_GEO_CG_ITERS", "15"))

@@ -294,9 +294,20 @@ def cp_cache_group_init(n_queries: int, n_groups: int, dtype) -> CPCacheGroup:
 
 
 def _cp_refresh(p, tri_verts, k: int, query_tile: int):
-    """Full 2-stage query + fresh cache (idx, p0=p, slack)."""
+    """Full 2-stage query + fresh cache (idx, p0=p, slack).
+
+    The cache keeps the k nearest candidates by EXACT distance out of a
+    2k lower-bound prefilter, and the slack is
+    ``min((k+1)-th exact distance, 2k-th lower bound) - d_true`` — both
+    terms bound the best possible excluded triangle. Using exact
+    distances here matters: a bound-only slack goes to ZERO for
+    on-surface queries (dozens of triangle bounding spheres contain the
+    point), and one chronically-zero query forces the whole batch to
+    refresh every iteration (measured: airport3k at 22 ms/iter vs 5 ms
+    — its vertices start on the reference surface)."""
     T = tri_verts.shape[0]
     P = p.shape[0]
+    k2 = min(2 * k, T)
     cent = jnp.mean(tri_verts, axis=1)
     rad = jnp.sqrt(jnp.max(jnp.sum(
         (tri_verts - cent[:, None, :]) ** 2, axis=-1), axis=1))
@@ -315,14 +326,19 @@ def _cp_refresh(p, tri_verts, k: int, query_tile: int):
                - 2.0 * pcc @ cent.T + c2[None, :])
         dist_c = jnp.sqrt(jnp.maximum(d2c, 0.0))
         lower = jnp.maximum(dist_c - rad[None, :], 0.0)
-        vals, idx = jax.lax.approx_min_k(lower, k, recall_target=0.999)
-        cand = tri_verts[idx]
-        q, sqd = _closest_point_candidates(pc, cand)
-        # slack: margin to the k-th (largest kept) lower bound. approx_min_k
-        # recall misses can overstate it marginally — same approximation the
-        # plain 2-stage path already carries, pinned by the accuracy tests.
-        slack = jnp.max(vals, axis=1) - jnp.sqrt(sqd)
-        return q, idx, slack
+        # approx_min_k recall misses can overstate the rest-of-mesh bound
+        # marginally — same approximation the plain 2-stage path carries,
+        # pinned by the accuracy tests (incl. the TPU-gated run).
+        vals, idx2 = jax.lax.approx_min_k(lower, k2, recall_target=0.999)
+        cand = tri_verts[idx2]
+        qk, sqd = _closest_point_candidates_all(pc, cand)   # (q, k2, ...)
+        d = jnp.sqrt(sqd)
+        negd, j = jax.lax.top_k(-d, k + 1)                  # ascending dist
+        idx = jnp.take_along_axis(idx2, j[:, :k], axis=1)   # exact top-k
+        q = jnp.take_along_axis(qk, j[:, :1, None], axis=1)[:, 0]
+        d_best = -negd[:, 0]
+        excl = jnp.minimum(-negd[:, k], jnp.max(vals, axis=1))
+        return q, idx, excl - d_best
 
     q, idx, slack = jax.lax.map(per_chunk, pq)
     q = q.reshape(-1, 3)[:P]
@@ -409,7 +425,7 @@ def _cp_refresh_group(p, tri_blk, cent_blk, rad_blk, gcenter, gradius,
 def closest_point_cached_group(p, tri_blk, cent_blk, rad_blk, gcenter,
                                gradius, cache: CPCacheGroup,
                                sub_size: int = 16, query_tile: int = 8192,
-                               fast_tile: int = 32768):
+                               fast_tile: int = 65536):
     """Exact closest point via the subgroup-granular candidate cache;
     self-refreshing (see CPCacheGroup). tri_blk is the Morton-grouped
     (G, S, 3, 3) triangle array from build_tri_groups (far-padded slots
@@ -496,6 +512,15 @@ def closest_point_cached(p, tri_verts, cache: CPCache,
 def _closest_point_candidates(p, cand):
     """Exact closest point over per-query candidate triangles.
     p: (Q, 3); cand: (Q, K, 3, 3). Returns (point (Q,3), sqdist (Q,))."""
+    q, sqd = _closest_point_candidates_all(p, cand)
+    i = jnp.argmin(sqd, axis=1)
+    return (jnp.take_along_axis(q, i[:, None, None], axis=1)[:, 0],
+            jnp.take_along_axis(sqd, i[:, None], axis=1)[:, 0])
+
+
+def _closest_point_candidates_all(p, cand):
+    """Per-candidate exact closest points (no argmin reduction).
+    p: (Q, 3); cand: (Q, K, 3, 3). Returns (points (Q,K,3), sqd (Q,K))."""
     a, b, c = cand[:, :, 0], cand[:, :, 1], cand[:, :, 2]
     pq = p[:, None, :]
     ab, ac, ap = b - a, c - a, pq - a
@@ -534,6 +559,4 @@ def _closest_point_candidates(p, cand):
     q = jnp.where(in_b[..., None], b, q)
     q = jnp.where(in_a[..., None], a, q)
     sqd = jnp.sum((pq - q) ** 2, -1)
-    i = jnp.argmin(sqd, axis=1)
-    return (jnp.take_along_axis(q, i[:, None, None], axis=1)[:, 0],
-            jnp.take_along_axis(sqd, i[:, None], axis=1)[:, 0])
+    return q, sqd

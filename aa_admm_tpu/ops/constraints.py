@@ -31,6 +31,13 @@ from .svd3 import eigh3x3
 # Above this triangle count, RefSurfaceBatch uses the MXU coarse-to-fine
 # closest-point (exact-in-practice top-k prefilter) instead of brute force.
 _CP_2STAGE_THRESHOLD = 4096
+# Above this triangle count, the in-loop candidate cache switches from the
+# flat per-triangle form (k=48 ids, exact (Q, T) 2-stage refresh) to the
+# Morton-subgroup form whose refresh never materializes (Q, T). Mid-size
+# meshes (costa2k/airport3k ~4-6k tris) stay flat: their group-cache slack
+# is structurally tighter (fewer, larger groups) and measured to refresh
+# far more often, costing 2x end-to-end on costa2k.
+_CP_GROUP_THRESHOLD = 20000
 
 
 def _static(**kw):
@@ -353,7 +360,7 @@ class RefSurfaceBatch:
         idx_h = np.asarray(idx, np.int32)
         w = np.full(C, np.sqrt(weight), dtype)
         grp = {}
-        if len(rf) > _CP_2STAGE_THRESHOLD:
+        if len(rf) > _CP_GROUP_THRESHOLD:
             from .closest_point import build_tri_groups
             tp, cent, rad, gc, gr = build_tri_groups(rv[rf],
                                                      group_size=group_size)

@@ -361,10 +361,12 @@ def bench_wiremesh():
         f.write("Iterations 100\nAndersonM 5\nPenalty 1000\n")
     dtype = np.dtype(os.environ.get("AAADMM_DTYPE", "float32"))
     # Chunked dispatch: a single multi-minute TPU dispatch can exceed the
-    # tunnel's execution window (CLAUDE.md) — at ~3s/iteration on this
-    # backend a 25-iter chunk did exactly that. 4-iter chunks stay well
-    # inside it and give measured residual timestamps for the tt metric.
-    chunk = int(os.environ.get("AAADMM_WIRE_CHUNK", "4"))
+    # tunnel's execution window (CLAUDE.md) — at ~3s/iteration (round 2)
+    # a 25-iter chunk did exactly that. 8-iter chunks (~3.5s at the
+    # current ~0.42s/iter) stay well inside it, give measured residual
+    # timestamps for the tt metric, and halve the ~75ms-per-boundary
+    # fetch+redispatch cost vs 4-iter chunks.
+    chunk = int(os.environ.get("AAADMM_WIRE_CHUNK", "8"))
     solver = w.main([f"{REF}/WireMeshData/MaleTorso.obj",
                      f"{REF}/WireMeshData/MaleTorso_target.obj",
                      opts, os.path.join(tempfile.gettempdir(),
