@@ -174,14 +174,17 @@ def closest_point_on_mesh_2stage(p, tri_verts, k: int = 48,
         # arXiv:2206.14286) — a full sort-based top_k over T~40k columns
         # costs seconds per call at this scale. Recall loss affects
         # borderline ranks near k, not the smallest bounds, and stage 2
-        # takes the exact argmin over the k candidates. recall_target=0.999
-        # (vs the 0.95 default-ish setting) guards the tied-at-zero case
-        # where a query sits inside many bounding spheres; accuracy vs brute
-        # force is pinned by tests on the real benchmark meshes, including a
-        # TPU-gated run (tests_tpu/test_closest_point_tpu.py) since the CPU
-        # lowering of approx_min_k is an exact sort and cannot catch TPU
-        # recall misses.
-        _, idx = jax.lax.approx_min_k(lower, k, recall_target=0.999)  # (q, k)
+        # takes the exact argmin over the k candidates. recall_target=0.9999
+        # guards the tied-at-zero case where a query sits inside many
+        # bounding spheres. Residual approximation, measured on the real
+        # chip (tests_tpu/test_closest_point_tpu.py; the CPU lowering is an
+        # exact sort and cannot catch recall misses): queries NEAR the
+        # surface — the solver regime, vertices converging onto the
+        # reference — are exact vs brute force; for far-field queries
+        # (tens of edge lengths off-surface, where many clamped-zero
+        # bounds tie) ~1% of queries can land on a triangle up to a few
+        # percent farther than the true nearest.
+        _, idx = jax.lax.approx_min_k(lower, k, recall_target=0.9999)  # (q, k)
         cand = tri_verts[idx]                               # (q, k, 3, 3)
         q, sqd = _closest_point_candidates(pc, cand)
         return q
@@ -329,7 +332,7 @@ def _cp_refresh(p, tri_verts, k: int, query_tile: int):
         # approx_min_k recall misses can overstate the rest-of-mesh bound
         # marginally — same approximation the plain 2-stage path carries,
         # pinned by the accuracy tests (incl. the TPU-gated run).
-        vals, idx2 = jax.lax.approx_min_k(lower, k2, recall_target=0.999)
+        vals, idx2 = jax.lax.approx_min_k(lower, k2, recall_target=0.9999)
         cand = tri_verts[idx2]
         qk, sqd = _closest_point_candidates_all(pc, cand)   # (q, k2, ...)
         d = jnp.sqrt(sqd)
