@@ -378,3 +378,31 @@ def test_bsr_matvec_matches_dense():
     # blocked round trip
     vb = bsr.to_blocked(jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(bsr.from_blocked(vb, n)), v)
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(DATA_GEO),
+                    reason="reference data not mounted")
+def test_flat_cache_slack_positive_for_on_surface_queries():
+    """Regression guard for the airport3k refresh storm (round 4): the
+    flat candidate cache's slack must stay strictly positive even for
+    queries ON the reference surface, where bound-only margins collapse
+    to zero (dozens of triangle bounding spheres contain the point) and
+    a single non-positive query forces a whole-batch refresh every
+    iteration. The exact-distance slack ((k+1)-th exact distance capped
+    by the 2k-th lower bound) keeps it positive."""
+    import jax.numpy as jnp
+    from aa_admm_tpu.core.meshio import load_obj
+    from aa_admm_tpu.ops.closest_point import (closest_point_cached,
+                                               cp_cache_init)
+    ref = load_obj(DATA_GEO + "/PQMeshData/trimesh/airport3k_tri.obj")
+    tri = jnp.asarray(ref.verts[ref.faces])
+    # On-surface queries: triangle centroids (worst case for bound-only
+    # slack) plus the airport3k scenario itself (mesh starts on surface).
+    q = jnp.asarray(ref.verts[ref.faces].mean(axis=1)[:2000])
+    cache = cp_cache_init(int(q.shape[0]), 48, np.float64)
+    out, cache = closest_point_cached(q, tri, cache)
+    sl = np.asarray(cache.slack)
+    assert sl.min() > 0, f"non-positive slack: min {sl.min()}"
+    # and the refresh value is the true closest point (distance ~0 here)
+    d = np.linalg.norm(np.asarray(q) - np.asarray(out), axis=1)
+    assert d.max() < 1e-9
