@@ -1,0 +1,61 @@
+"""Shared helpers for the frozen struct-of-arrays element/constraint batches.
+
+Single source for the host-mirror protocol (CLAUDE.md design rule: host-side
+setup must never read device arrays back) and the dtype-cast used when a scene
+switches the solve precision (Types.h Scalar=double / float switch analogue).
+Previously duplicated across ops/elements.py and ops/constraints.py
+(round-4 VERDICT weak #7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _static(**kw):
+    """dataclass field marked static for jax.tree_util.register_dataclass."""
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+def _host_mirror(obj, **arrays):
+    """Attach host-side NumPy mirrors to a frozen batch (not pytree fields).
+    Setup-time assembly reads these instead of pulling device arrays back
+    through a (potentially slow) accelerator transport."""
+    object.__setattr__(obj, "_host",
+                       {k: np.asarray(v) for k, v in arrays.items()})
+    return obj
+
+
+def hostarr(b, name):
+    h = getattr(b, "_host", None)
+    if h is not None and name in h:
+        return h[name]
+    return np.asarray(getattr(b, name))
+
+
+def cast_floats(batch, dtype):
+    """Copy of a (frozen, registered-dataclass) batch with every floating
+    array field cast to `dtype`. The f64 `_host` NumPy mirrors are carried
+    over unchanged: setup-time assembly and the delta-form `transform_host`
+    anchors keep full precision, while the device arrays entering jitted
+    loop bodies match the solve dtype (a single f64 leaf poisons every
+    downstream carry under x64 mode)."""
+    dtype = np.dtype(dtype)
+    kw = {}
+    for f in dataclasses.fields(batch):
+        v = getattr(batch, f.name)
+        if (isinstance(v, (jax.Array, np.ndarray))
+                and jnp.issubdtype(v.dtype, jnp.floating)
+                and v.dtype != dtype):
+            kw[f.name] = v.astype(dtype)
+    if not kw:
+        return batch
+    out = dataclasses.replace(batch, **kw)
+    h = getattr(batch, "_host", None)
+    if h is not None:
+        object.__setattr__(out, "_host", h)
+    return out

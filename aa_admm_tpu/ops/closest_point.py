@@ -382,7 +382,18 @@ def _cp_refresh_group(p, tri_blk, cent_blk, rad_blk, gcenter, gradius,
     pad_q = (-P) % qt
     pq = jnp.pad(p, ((0, pad_q), (0, 0))).reshape(-1, qt, 3)
     g0 = min(prefilter, G - 1)
-    ng = min(n_sub, g0 * n_per_g)
+    # The caller's cache width must survive unclamped: a clamped ng would
+    # change the refresh branch's gidx width vs cache.gidx and fail the
+    # enclosing lax.cond with an opaque trace-time shape error; and the
+    # (ng+1)-th-best exclusion margin needs at least ng+1 scored subgroups
+    # (ADVICE r4).
+    if n_sub + 1 > g0 * n_per_g:
+        raise ValueError(
+            f"cp_groups={n_sub} needs at least cp_groups+1 candidate "
+            f"subgroups after prefilter, but prefilter={g0} groups x "
+            f"{n_per_g} subgroups/group = {g0 * n_per_g}; lower cp_groups "
+            f"or raise prefilter/group_size")
+    ng = n_sub
 
     def per_chunk(pc):
         qn = pc.shape[0]

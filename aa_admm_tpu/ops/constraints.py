@@ -40,49 +40,8 @@ _CP_2STAGE_THRESHOLD = 4096
 _CP_GROUP_THRESHOLD = 20000
 
 
-def _static(**kw):
-    return dataclasses.field(metadata=dict(static=True), **kw)
-
-
-
-
-def _host_mirror(obj, **arrays):
-    """Attach host-side NumPy mirrors to a frozen batch (not pytree fields).
-    Setup-time assembly reads these instead of pulling device arrays back
-    through a (potentially slow) accelerator transport."""
-    object.__setattr__(obj, "_host", {k: np.asarray(v) for k, v in arrays.items()})
-    return obj
-
-
-def hostarr(b, name):
-    h = getattr(b, "_host", None)
-    if h is not None and name in h:
-        return h[name]
-    return np.asarray(getattr(b, name))
-
-
-def cast_floats(batch, dtype):
-    """Copy of a (frozen, registered-dataclass) batch with every floating
-    array field cast to `dtype`. The f64 `_host` NumPy mirrors are carried
-    over unchanged: setup-time assembly and the delta-form `transform_host`
-    anchors keep full precision, while the device arrays entering jitted
-    loop bodies match the solve dtype (a single f64 leaf poisons every
-    downstream carry under x64 mode)."""
-    dtype = np.dtype(dtype)
-    kw = {}
-    for f in dataclasses.fields(batch):
-        v = getattr(batch, f.name)
-        if (isinstance(v, (jax.Array, np.ndarray))
-                and jnp.issubdtype(v.dtype, jnp.floating)
-                and v.dtype != dtype):
-            kw[f.name] = v.astype(dtype)
-    if not kw:
-        return batch
-    out = dataclasses.replace(batch, **kw)
-    h = getattr(batch, "_host", None)
-    if h is not None:
-        object.__setattr__(out, "_host", h)
-    return out
+from ._batchutil import (  # noqa: F401 (re-export)
+    _host_mirror, _static, cast_floats, hostarr)
 
 
 def _pad_rows(rows, pad_val=0):

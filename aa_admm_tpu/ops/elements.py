@@ -36,23 +36,7 @@ _SQRT2 = float(np.sqrt(2.0))
 
 
 
-def _host_mirror(obj, **arrays):
-    """Attach host NumPy mirrors (non-pytree) so setup-time assembly never
-    pulls device arrays back through the accelerator transport."""
-    object.__setattr__(obj, "_host",
-                       {k: np.asarray(v) for k, v in arrays.items()})
-    return obj
-
-
-def hostarr(b, name):
-    h = getattr(b, "_host", None)
-    if h is not None and name in h:
-        return h[name]
-    return np.asarray(getattr(b, name))
-
-
-def _static(**kw):
-    return dataclasses.field(metadata=dict(static=True), **kw)
+from ._batchutil import _host_mirror, _static, hostarr  # noqa: F401 (re-export)
 
 
 @jax.tree_util.register_dataclass

@@ -21,6 +21,8 @@ the residual norms become XLA-inserted collectives (psum) over ICI.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 
@@ -243,16 +245,22 @@ def dryrun(n_devices: int) -> None:
         # (" all-reduce(" definitions), not substring occurrences — operand
         # references and tuple-gets inflated the r3 numbers ~4x.
         hlo = sh_fn.lower(sys_sh, *args64).compile().as_text()
-        n_psum = sum(1 for ln in hlo.splitlines()
-                     if " all-reduce(" in ln or " all-reduce-start(" in ln)
+        # Match instruction DEFINITIONS (`%name = <shape> all-reduce(...`),
+        # not operand references/tuple-gets (those inflated the r3 numbers
+        # ~4x) and robust to pretty-printer spacing (ADVICE r4).
+        n_psum = len(re.findall(
+            r"^\s*(?:ROOT\s+)?%?[\w.-]+\s*=\s*[^=]*\ball-reduce(?:-start)?\(",
+            hlo, re.MULTILINE))
         # Canary threshold (VERDICT r3 #4): the 3-iteration step module
         # carries ~{scatter, prim, comb, AA-dot, setup} reductions; XLA's
         # AllReduceCombiner merges the adjacent ones. Collective bloat
         # (e.g. an unfused reduction sneaking into the loop body) fails
         # loudly here instead of silently regressing multi-chip scaling.
-        assert n_psum <= 15, (
-            f"{order}: all-reduce count {n_psum} exceeds the canary "
-            f"threshold 15 — a reduction was likely un-fused")
+        # RuntimeError, not assert: the canary must survive `python -O`.
+        if n_psum > 15:
+            raise RuntimeError(
+                f"{order}: all-reduce count {n_psum} exceeds the canary "
+                f"threshold 15 — a reduction was likely un-fused")
         print(f"dryrun[{order}]: sharded-vs-unsharded max|dx|={dx:.3e} "
               f"max|dprim|={dprim:.3e}; iters/s 1dev={r1:.1f} "
               f"{n_devices}dev={rn:.1f} (virtual CPU mesh, overhead canary); "
@@ -263,6 +271,12 @@ def dryrun(n_devices: int) -> None:
                           "iters_per_s_ref": round(r1, 1),
                           "iters_per_s_sharded": round(rn, 1),
                           "all_reduces": n_psum}
+
+    # Geometry solver (BSR path) sharded-vs-unsharded parity — the at-scale
+    # global step must be certified in the DRIVER-VISIBLE artifact, not just
+    # the CPU test suite (VERDICT r4 #3).
+    from .geometry import dryrun_geometry
+    summary["geometry"] = dryrun_geometry(n_devices)
 
     # One machine-readable line for the multichip artifact. Any XLA:CPU AOT
     # machine-feature warnings on the virtual mesh are benign by

@@ -178,8 +178,17 @@ def build_two_level(n_verts, hard, soft, rho, reg_rows, diag,
         # (nc, nc) coarse inverse, so nc^2 is a per-CG-iteration cost;
         # 6000 (144 MB at f32, ~2.5 ms) beats 8000 (256 MB, ~4 ms) at
         # equal converged quality under the capped-CG budget (measured).
-        target_coarse = (int(env) if env
-                         else int(np.clip(n_verts // 24, 4000, 6000)))
+        # `env is not None` (not falsy-string): AAADMM_MG_COARSE=0 must be
+        # rejected loudly, not silently fall back to the default (ADVICE r4).
+        if env is not None:
+            target_coarse = int(env)
+            if target_coarse < 100:
+                raise ValueError(
+                    f"AAADMM_MG_COARSE={target_coarse}: the coarse space must "
+                    f"have at least 100 aggregates (a degenerate coarse space "
+                    f"silently destroys the preconditioner)")
+        else:
+            target_coarse = int(np.clip(n_verts // 24, 4000, 6000))
     from ..ops.constraints import assemble_geometry_node_matrix
     edges = collect_pair_edges(list(hard) + list(soft), reg_rows)
     agg = greedy_aggregate(n_verts, edges, target_coarse=target_coarse)

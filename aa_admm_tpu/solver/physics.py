@@ -177,6 +177,17 @@ def _unflatten(flat, templates):
     return tuple(out)
 
 
+def _carry_fingerprint(carry):
+    """Structure fingerprint of an ADMM loop carry for the .npz sidecar:
+    treedef + per-leaf dtype/shape. Identical for concrete arrays and
+    jax.eval_shape ShapeDtypeStructs, so the loader can validate without
+    running a step (ADVICE r4)."""
+    leaves, treedef = jax.tree_util.tree_flatten(carry)
+    return (str(treedef) + "|" +
+            ",".join(f"{np.dtype(l.dtype).name}{tuple(l.shape)}"
+                     for l in leaves))
+
+
 # ----------------------------------------------------------------------------
 # Shared per-step computations
 # ----------------------------------------------------------------------------
@@ -1247,6 +1258,7 @@ class PhysicsSolver:
         if aa_file:
             leaves = jax.tree_util.tree_leaves(carry)
             np.savez_compressed(aa_file, n_leaves=len(leaves),
+                                fingerprint=np.array(_carry_fingerprint(carry)),
                                 **{f"leaf{i}": np.asarray(l)
                                    for i, l in enumerate(leaves)})
         if iters - k:
@@ -1286,6 +1298,23 @@ class PhysicsSolver:
             with np.load(aa_file) as d:
                 aa_leaves = [d[f"leaf{i}"]
                              for i in range(int(d["n_leaves"]))]
+                saved_fp = str(d["fingerprint"]) if "fingerprint" in d else None
+            # Structure fingerprint (ADVICE r4): leaf count + shapes alone
+            # can coincide across solver configurations, silently slotting
+            # leaves into the wrong tree positions; compare the full
+            # treedef+dtype+shape fingerprint HERE, not at step() time.
+            if saved_fp is not None:
+                from functools import partial
+                carry_s, _ = jax.eval_shape(
+                    partial(_step_setup, self.system), self._x_dev,
+                    self._v_dev, jax.ShapeDtypeStruct(
+                        np.shape(self.pin_pos), self._x_dev.dtype))
+                expect_fp = _carry_fingerprint(carry_s)
+                if saved_fp != expect_fp:
+                    raise ValueError(
+                        "AA sidecar was saved under a different solver "
+                        "configuration (carry structure mismatch):\n"
+                        f"  saved:    {saved_fp}\n  expected: {expect_fp}")
         self._admm_seed = (z, u, last_z, x, aa_leaves)
 
     def _step_seeded(self, seed):

@@ -91,17 +91,30 @@ def _physics_quality(solver, iters):
     return ok, {"prim_first": float(prim[0]), "prim_last": float(prim[-1])}
 
 
+def _prim_ok(prim):
+    """Residual-trace health check. NaN entries mark iterations the
+    eps-break skipped, so they are legitimate — but the FIRST iterate of
+    every frame always runs, and nothing that ran may be non-finite. The
+    previous form (`isfinite(prim[~isnan(prim)])`) masked NaNs before the
+    check, so an all-NaN (diverged) trace passed vacuously (ADVICE r4)."""
+    prim = np.asarray(prim, np.float64)
+    first = prim[..., 0]
+    return bool(np.all(np.isfinite(first))) and not bool(np.any(np.isinf(prim)))
+
+
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "tests", "golden")
 
 
-def _early_phase_gate(prim, golden_name, rel=2e-2):
+def _early_phase_gate(prim, golden_name, rel=5e-3):
     """In-bench golden-trajectory gate (VERDICT r3 weak #3): the step-1
     primal residual head must track the unmodified C++ build's
     tests/golden file while the C++ residual is above 1e-2 x initial —
-    the same check tests_tpu pins tightly; the bench bound is looser
-    (2e-2) so it gates correctness, not TPU arithmetic noise. A
-    mis-parameterized solver (wrong penalty/weights) lands far outside."""
+    the same check tests_tpu pins tightly. Bound 5e-3 = ~3x the measured
+    r4 errors (beams 1.8e-3, windyflag 1.0e-3, BENCH_r04.json), leaving
+    tunnel-health margin while still failing a mis-parameterized solver
+    (wrong penalty/weights lands orders of magnitude outside; VERDICT r4
+    #6 tightened this from 2e-2)."""
     cpp = np.loadtxt(os.path.join(GOLDEN, golden_name))
     prim = np.asarray(prim, np.float64)
     n = min(len(prim), len(cpp))
@@ -149,16 +162,23 @@ def _ensemble_bench(build, iters, n_rep=8, n_frames=10, pin_vel=None):
 
     err = float(np.max(np.abs(np.asarray(xe) - np.asarray(x1)[None])))
     prim = np.asarray(tre.prim, np.float64)
-    ok = (bool(np.all(np.isfinite(prim[~np.isnan(prim)])))
+    ok = (_prim_ok(prim)
           and err < 1e-4 * max(1.0, float(np.max(np.abs(np.asarray(x1))))))
     return ok, {"ensemble_iters_per_s": round(rate, 3),
                 "ensemble_n_rep": n_rep,
                 "ensemble_consistency_err": round(err, 8)}
 
 
-def _endstate_gate(build, golden_name, bound, n_frames=30):
+def _endstate_gate(build, golden_name, bound, n_frames=30,
+                   cpu_bound=None):
     """30-frame rollout end-state vs the C++ golden final positions (fresh
-    solver; reuses the already-warm fused-rollout compile)."""
+    solver; reuses the already-warm fused-rollout compile). Contact-heavy
+    f32 rollouts drift measurably more on XLA:CPU than on TPU (plinkohit:
+    5.1e-3 vs 3.3e-4 — different fusion/FMA contraction order), so the
+    CPU-fallback path may carry its own (looser, still tight) bound."""
+    import jax
+    if cpu_bound is not None and jax.devices()[0].platform == "cpu":
+        bound = cpu_bound
     solver = build(_settings(13))
     solver.run(n_frames)
     xref = np.loadtxt(os.path.join(GOLDEN, golden_name)).reshape(-1, 3)
@@ -221,7 +241,7 @@ def bench_beams():
     solver.flush_traces()
     out["iters_per_s_fused"] = round(n_steps * s.admm_iters / tf, 3)
     prim = np.asarray(traces.prim, np.float64)
-    ok = ok and bool(np.all(np.isfinite(prim[~np.isnan(prim)])))
+    ok = ok and _prim_ok(prim)
     out.update(_phase_breakdown(solver, s.admm_iters))
     _maybe_profile(solver, "beams")
     # Measured time-to-tolerance (combined residual < 1e-5 x initial) with
@@ -277,7 +297,7 @@ def _zxu_scene(build, iters, n_steps):
     solver.flush_traces()
     out["iters_per_s_fused"] = round(n_steps * iters / tf, 3)
     prim = np.asarray(traces.prim, np.float64)
-    ok = ok and bool(np.all(np.isfinite(prim[~np.isnan(prim)])))
+    ok = ok and _prim_ok(prim)
     out.update(_phase_breakdown(solver, iters))
     _maybe_profile(solver, "zxu")
     return out, ok
@@ -305,8 +325,12 @@ def bench_windyflag():
 def bench_plinkohit():
     from aa_admm_tpu.apps.plinkohit import build_scene
     out, ok = _zxu_scene(build_scene, 13, 30)
+    # Bound 2e-3 = ~6x the measured r4 TPU error 3.3e-4 (VERDICT r4 #6;
+    # was 1e-1, 300x headroom — a 50x-inflated end state sailed through).
+    # CPU fallback: 2e-2 = ~4x the measured CPU-f32 drift 5.1e-3.
     gok, ginfo = _endstate_gate(build_scene,
-                                "plinkohit_final_x_30f_m5_cpp.txt", 1e-1)
+                                "plinkohit_final_x_30f_m5_cpp.txt", 2e-3,
+                                cpu_bound=2e-2)
     out.update(ginfo)
     eok, einfo = _ensemble_bench(build_scene, 13)
     out.update(einfo)
@@ -317,9 +341,10 @@ def bench_plinkopony():
     from aa_admm_tpu.apps.plinkopony import build_scene
     out, ok = _zxu_scene(build_scene, 13, 30)
     # Contact events through the peg grid amplify precision differences;
-    # f32 drift measured 2.4e-2 on CPU (tests_tpu bound 2.5e-1).
+    # f32 drift measured 2.4e-2 on CPU / 3.0e-2 on TPU (BENCH_r04.json).
+    # Bound 1e-1 = ~3x measured (VERDICT r4 #6 tightened from 2.5e-1).
     gok, ginfo = _endstate_gate(build_scene,
-                                "plinkopony_final_x_30f_m5_cpp.txt", 2.5e-1)
+                                "plinkopony_final_x_30f_m5_cpp.txt", 1e-1)
     out.update(ginfo)
     return out, "plinkopony_iters_per_s", _zxu_value(out), ok and gok
 
