@@ -70,11 +70,59 @@ def build_scene(settings: Settings, order=UpdateOrder.XZU):
     return solver, stretch
 
 
+def log_x_star(settings: Settings, result_dir: str = "result",
+               star_iters: int = 2000):
+    """Convergence-vs-ground-truth logging (SolverLog.hpp:28-71, VERDICT r4
+    #8): run the FIRST beams timestep to convergence (star_iters, no
+    acceleration — the exact minimizer of that step's ADMM objective), then
+    re-run the same step with the configured settings feeding a SolverLog,
+    and write ``result/solverlog-{m|no}.txt`` with one
+    ``runtime_ms  normalized_error`` row per iteration
+    (error = ||x*-x|| / ||x*-x0||, SolverLog::add).
+
+    Returns the SolverLog (errors/runtimes populated)."""
+    import copy
+    import os
+
+    from ..core.solverlog import SolverLog
+
+    star_settings = copy.deepcopy(settings)
+    star_settings.admm_iters = star_iters
+    from ..core.config import AccelType
+    star_settings.acceleration_type = AccelType.NOACC
+    ref_solver, ref_stretch = build_scene(star_settings)
+    ref_stretch(star_settings.timestep_s)
+    ref_solver.step()
+    x_star = np.asarray(ref_solver.x, np.float64).ravel()
+
+    log = SolverLog()
+    log.x_star = x_star
+    solver, stretch = build_scene(settings)
+    stretch(settings.timestep_s)
+    solver.step_instrumented(log=log)
+
+    os.makedirs(result_dir, exist_ok=True)
+    from ..core.config import AccelType as _A
+    tag = (str(settings.anderson_m)
+           if settings.acceleration_type == _A.ANDERSON else "no")
+    path = os.path.join(result_dir, f"solverlog-{tag}.txt")
+    with open(path, "w") as f:
+        for t, e in zip(log.runtimes, log.errors):
+            f.write(f"{t}\t{e:.16g}\n")
+    return log
+
+
 def main(argv=None, n_frames: int = 10, result_dir: str = "result"):
+    argv = list(argv if argv is not None else sys.argv[1:])
+    want_log = "--log-x-star" in argv
+    if want_log:
+        argv.remove("--log-x-star")
     settings = Settings()
     settings.admm_iters = 100
-    if settings.parse_args(argv or sys.argv[1:]):
+    if settings.parse_args(argv):
         return 0
+    if want_log:
+        log_x_star(settings, result_dir)
     solver, stretch = build_scene(settings)
     for _ in range(n_frames):
         stretch(settings.timestep_s)

@@ -35,14 +35,21 @@ def get_pins(verts):
     return [up_idx, down_idx]
 
 
-def build_scene(settings: Settings, mesh_path: str | None = None):
+def build_scene(settings: Settings, mesh_path: str | None = None,
+                wind_mode: str = "jacobi"):
+    """wind_mode: 'jacobi' (deterministic fused kick, TPU default) or
+    'sequential' (exact 1-thread reference wind-loop semantics) — see
+    WindForce. The reference's own wind-ON result is thread-schedule-
+    dependent; 'sequential' reproduces its single-thread run to ~2e-7
+    (tests/test_parity.py)."""
     mesh = load_obj(mesh_path or find_data("cloth.obj"))
     lame = Lame.from_young_poisson(50, 0.1, limit_min=0.95, limit_max=1.05)
 
     solver = PhysicsSolver(order=UpdateOrder.ZXU)
     solver.add_trimesh(mesh.verts, mesh.faces, lame)
     solver.set_pins(get_pins(mesh.verts))
-    solver.set_wind(mesh.faces, np.array([10.0, 0.0, 2.0]) * 2.5)
+    solver.set_wind(mesh.faces, np.array([10.0, 0.0, 2.0]) * 2.5,
+                    mode=wind_mode)
     solver.initialize(settings)
     return solver
 

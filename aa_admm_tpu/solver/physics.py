@@ -56,32 +56,62 @@ class WindForce:
     """Wejchert-Haumann aerodynamic per-triangle normal force applied as a
     pre-ADMM velocity kick (ExplicitForce.cpp:47-104).
 
-    Deliberate divergence: the reference's OpenMP loop reads ``v`` while
-    writing it (later triangles see earlier triangles' forces), making the
-    result schedule- and thread-count-dependent. This implementation is the
-    deterministic Jacobi form: all forces evaluated against the pre-kick
-    velocity, then scattered — bit-reproducible, and what the racy loop
-    approximates."""
+    The reference's OpenMP loop reads ``v`` while writing it (later
+    triangles see earlier triangles' forces), making its result schedule-
+    and thread-count-dependent — its own 2-thread run differs from the
+    1-thread run by ~2e-3 on the step-1 residual head (measured,
+    tests/golden/README.md). Two deterministic modes here:
+
+    * ``jacobi`` (default): all forces evaluated against the pre-kick
+      velocity, then scattered in one segment_sum — a single fused kernel,
+      the TPU-throughput choice. Physically this skips the sweep's
+      self-limiting (later triangles no longer see already-accelerated
+      vertices), which at windyflag's strong wind is a LARGE divergence:
+      step-1 residual head differs ~0.46 rel from the 1-thread reference,
+      10-frame positions by ~0.48 on a 1.9-unit cloth (measured r5).
+    * ``sequential``: an in-graph ``lax.scan`` over triangles in face
+      order, each reading the live velocity — the exact 1-thread execution
+      of the reference loop, still jittable/fused-rollout-safe. Pinned to
+      the single-thread C++ wind-ON golden at ~2e-7
+      (tests/test_parity.py::test_windyflag_wind_on_sequential_matches_cpp).
+    """
 
     faces: jnp.ndarray      # (F, 3) int32
     direction: jnp.ndarray  # (3,)
     alpha_n: float = _static(default=1000.0)
+    mode: str = _static(default="jacobi")
 
     def apply(self, dt, x, v, n_verts):
         f = self.faces
-        curr_v = jnp.mean(v[f], axis=1)                       # (F, 3)
         # Cast, don't promote: a f64 direction must not leak f64 into the
         # f32 scan carry (it poisons prev/prim downstream).
-        v_r = curr_v - self.direction.astype(v.dtype)
+        direction = self.direction.astype(v.dtype)
+        # Geometry factors depend on x only — hoisted out of the sweep in
+        # both modes (the reference recomputes them per triangle, but x
+        # does not change inside the sweep).
         e1 = x[f[:, 1]] - x[f[:, 0]]
         e2 = x[f[:, 2]] - x[f[:, 0]]
         n = jnp.cross(e1, e2)
         n_norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
         normal = n / jnp.maximum(n_norm, 1e-300)
         area = 0.5 * n_norm[..., 0]
+        coef = (-self.alpha_n * area) * (0.33 * dt)
+
+        if self.mode == "sequential":
+            def body(vc, inp):
+                f3, nrm, cf = inp
+                curr_v = (vc[f3[0]] + vc[f3[1]] + vc[f3[2]]) / 3.0
+                v_n = jnp.dot(nrm, curr_v - direction)
+                force = (cf * v_n * jnp.abs(v_n)) * nrm
+                vc = vc.at[f3].add(force[None, :])
+                return vc, None
+            v, _ = jax.lax.scan(body, v, (f, normal, coef))
+            return v
+
+        curr_v = jnp.mean(v[f], axis=1)                       # (F, 3)
+        v_r = curr_v - direction
         v_n = jnp.sum(normal * v_r, axis=-1)
-        force = (-self.alpha_n * area * v_n * jnp.abs(v_n))[:, None] * normal
-        force = force * 0.33 * dt
+        force = (coef * v_n * jnp.abs(v_n))[:, None] * normal
         dv = jax.ops.segment_sum(
             jnp.repeat(force, 3, axis=0), f.reshape(-1), num_segments=n_verts)
         return v + dv
@@ -402,12 +432,18 @@ def step_xzu(system: PhysicsSystem, x, v, pin_pos):
 
 
 def step_xzu_instrumented(system: PhysicsSystem, x, v, pin_pos,
-                          runtime: "RuntimeData"):
+                          runtime: "RuntimeData", log=None):
     """Per-phase instrumented xzu step: the same algorithm as ``step_xzu``
     but as a host loop over separately jitted phases, accumulating the
     reference's RuntimeData buckets (global/local/acceleration/initialization
     ms, Solver.cpp:102-244). Used for profiling parity and as a cross-check
-    of the fused scan (identical math, Python-level control flow)."""
+    of the fused scan (identical math, Python-level control flow).
+
+    log: optional core.solverlog.SolverLog — fed the full per-iteration
+    position vector after each global solve, producing the reference's
+    convergence-vs-ground-truth trajectory (SolverLog.hpp:44-60: normalized
+    error ||x*-x||/||x*-x0|| + per-iteration runtimes; x_star must be set
+    by running the same step to convergence first)."""
     import jax as _jax
     t = MicroTimer()
     dt = system.dt
@@ -482,6 +518,8 @@ def step_xzu_instrumented(system: PhysicsSystem, x, v, pin_pos,
             comb = float("inf")
         prims.append(prim)
         combs.append(comb)
+        if log is not None:
+            log.add(np.asarray(cx).ravel())
         runtime.step_time.append(runtime.local_ms + runtime.global_ms
                                  + runtime.acceleration_ms)
         if comb < _EPS_BREAK:
@@ -977,12 +1015,18 @@ class PhysicsSolver:
         else:
             getattr(self.sdf_builder, f"add_{kind}")(**kw)
 
-    def set_wind(self, faces, direction, alpha_n: float = 1000.0):
+    def set_wind(self, faces, direction, alpha_n: float = 1000.0,
+                 mode: str = "jacobi"):
+        """mode: 'jacobi' (fused one-kernel kick, TPU default) or
+        'sequential' (exact single-thread reference loop semantics via an
+        in-graph triangle scan) — see WindForce."""
+        if mode not in ("jacobi", "sequential"):
+            raise ValueError(f"unknown wind mode {mode!r}")
         dtype = np.dtype(self.settings.dtype)
         self.wind = WindForce(
             faces=jnp.asarray(np.asarray(faces, np.int32).reshape(-1, 3)),
             direction=jnp.asarray(np.asarray(direction, dtype)),
-            alpha_n=alpha_n)
+            alpha_n=alpha_n, mode=mode)
 
     def _all_verts(self) -> np.ndarray:
         return (np.concatenate(self.verts, axis=0)
@@ -1500,20 +1544,21 @@ class PhysicsSolver:
             ts.append(lo + (r + 1) / k_j * (hi - lo))
         return ts
 
-    def step_instrumented(self):
+    def step_instrumented(self, log=None):
         """One timestep with per-phase RuntimeData accumulation
         (RuntimeData::print parity, Solver.cpp:551-564; zxu timing blocks in
         admm_anderson_hard_zxu/src/Solver.cpp). Slower than step() (host
         loop, one dispatch per phase) but yields the reference's
         global/local/acceleration/initialization breakdown. Works for both
-        update orders."""
+        update orders. log (xzu only): a core.solverlog.SolverLog fed the
+        per-iteration positions — see step_xzu_instrumented."""
         assert self.initialized
         if self._selfcol_index is not None:
             self._refresh_self_contacts()
         if self.order == UpdateOrder.XZU:
             x_new, v_new, prims, combs, resets = step_xzu_instrumented(
                 self.system, jnp.asarray(self.x), jnp.asarray(self.v),
-                jnp.asarray(self.pin_pos), self.runtime)
+                jnp.asarray(self.pin_pos), self.runtime, log=log)
             rejects = np.zeros(len(prims), np.int32)
         else:
             x_new, v_new, prims, combs, rejects, resets = \
