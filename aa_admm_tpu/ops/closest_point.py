@@ -343,7 +343,11 @@ def _cp_refresh(p, tri_verts, k: int, query_tile: int):
         excl = jnp.minimum(-negd[:, k], jnp.max(vals, axis=1))
         return q, idx, excl - d_best
 
-    q, idx, slack = jax.lax.map(per_chunk, pq)
+    if pq.shape[0] == 1:
+        q, idx, slack = per_chunk(pq[0])
+        q, idx, slack = q[None], idx[None], slack[None]
+    else:
+        q, idx, slack = jax.lax.map(per_chunk, pq)
     q = q.reshape(-1, 3)[:P]
     idx = idx.reshape(P + pad_q, k)[:P]
     slack = slack.reshape(-1)[:P]
@@ -517,15 +521,44 @@ def closest_point_cached(p, tri_verts, cache: CPCache,
             q, _ = _closest_point_candidates(pc, tri_verts[ic])
             return q
 
-        q = jax.lax.map(per_chunk, (pq, idx)).reshape(-1, 3)[:P]
+        # Single-tile batches skip lax.map entirely: even a 1-iteration
+        # map compiles to a while loop with dynamic-slice boundaries that
+        # XLA cannot fuse through (measured ~10x penalty on small chunks,
+        # CLAUDE.md).
+        if pq.shape[0] == 1:
+            q = per_chunk((pq[0], idx[0]))[:P]
+        else:
+            q = jax.lax.map(per_chunk, (pq, idx)).reshape(-1, 3)[:P]
         return q, cache
 
     return jax.lax.cond(need, refresh, fast, None)
 
 
+def _use_pallas() -> bool:
+    """Fused Pallas sweeps are the default on accelerator backends
+    (AAADMM_PALLAS=0 opts out); on CPU the interpreter would be slower
+    than XLA, so the jnp path stays."""
+    import os
+    env = os.environ.get("AAADMM_PALLAS")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "cpu"
+
+
 def _closest_point_candidates(p, cand):
     """Exact closest point over per-query candidate triangles.
-    p: (Q, 3); cand: (Q, K, 3, 3). Returns (point (Q,3), sqdist (Q,))."""
+    p: (Q, 3); cand: (Q, K, 3, 3). Returns (point (Q,3), sqdist (Q,)).
+
+    On TPU this is ONE fused Pallas kernel (ops/pallas_kernels.py): the
+    XLA lowering of the ~30-op Ericson chain is pure per-kernel overhead
+    at small-scene sizes (PERF.md r5: costa2k 0.53 -> 0.29 s), and even at
+    wiremesh's 65k-query tiles the kernel nets ~2 s end-to-end (35.2 vs
+    37.1 s measured with the kernel force-disabled) — the (Q,K,9)->(9,K,Q)
+    relayout feeding it costs ~37 ms/trial but the XLA chain's own
+    materialized intermediates cost more."""
+    if _use_pallas() and p.dtype == jnp.float32:
+        from .pallas_kernels import ericson_candidates
+        return ericson_candidates(p, cand)
     q, sqd = _closest_point_candidates_all(p, cand)
     i = jnp.argmin(sqd, axis=1)
     return (jnp.take_along_axis(q, i[:, None, None], axis=1)[:, 0],

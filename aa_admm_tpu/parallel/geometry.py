@@ -105,9 +105,9 @@ def shard_geometry_system(system, mesh):
             b, iperm=_place(b.iperm, repl),
             nbr=rows_if_even(b.nbr),
             a_loc=rows_if_even(b.a_loc),
-            spill_rows=_place(b.spill_rows, repl),
-            spill_cols=_place(b.spill_cols, repl),
-            spill_vals=_place(b.spill_vals, repl))
+            sblk_row=_place(b.sblk_row, repl),
+            sblk_nbr=_place(b.sblk_nbr, repl),
+            sblk_a=_place(b.sblk_a, repl))
     if system.precond_diag_b is not None:
         updates["precond_diag_b"] = rows_if_even(system.precond_diag_b)
     if system.mg_b is not None:

@@ -93,15 +93,20 @@ class BsrMatrix:
     into Morton order and grouped into B-vertex blocks, each block-row
     stores a dense (B, deg*B) local matrix over its `deg` most-populated
     neighbor blocks (gathered as whole (B, 3) blocks), and the few entries
-    that fall outside the deg cap spill into a narrow per-row ELL gather.
-    ~4-5x faster per matvec than the flat ELL gather at wiremesh scale."""
+    that fall outside the deg cap spill into whole (B, B) blocks (see the
+    sblk_* fields). ~4-5x faster per matvec than the flat ELL gather at
+    wiremesh scale."""
 
     iperm: jnp.ndarray       # (n,) original vertex -> blocked position
     nbr: jnp.ndarray         # (nb, deg) int32 neighbor block ids
     a_loc: jnp.ndarray       # (nb, B, deg*B) dense local blocks
-    spill_rows: jnp.ndarray  # (E,) int32 COO spill (blocked numbering)
-    spill_cols: jnp.ndarray  # (E,) int32
-    spill_vals: jnp.ndarray  # (E,)
+    # Entries beyond the deg cap, as whole (B, B) spill blocks: the r4 COO
+    # form cost ~1.8 ms/CG-iteration in 12-byte-row gather/scatter traffic
+    # (tools/bench_cg_pallas.py); block form gathers/scatters (B, 3) =
+    # 192-byte rows, the backend's fast regime (CLAUDE.md).
+    sblk_row: jnp.ndarray    # (ns,) int32 block-row ids
+    sblk_nbr: jnp.ndarray    # (ns,) int32 neighbor block ids
+    sblk_a: jnp.ndarray      # (ns, B, B) dense spill blocks
     block: int = _static(default=16)
 
     @classmethod
@@ -170,23 +175,32 @@ class BsrMatrix:
         np.add.at(a_loc,
                   (br[m], rows[m] - br[m] * B,
                    slot[m] * B + (cols[m] - bc[m] * B)), data[m])
-        # Spilled entries as compact COO (few-percent of nnz): a padded
-        # per-row spill table would re-create the full-width 12B-row gather
-        # this structure exists to avoid.
+        # Spilled entries grouped into whole (B, B) blocks by their
+        # (block-row, neighbor-block) pair — mesh spills are clustered
+        # (an excess neighbor block carries many vertex pairs), so the
+        # block count ns is far below the entry count and the per-matvec
+        # cost becomes one 192-byte-row block gather + batched matmul +
+        # block scatter instead of the pathological 12-byte COO form.
         sp_r, sp_c, sp_v = rows[~m], cols[~m], data[~m]
-        E = max(1, len(sp_r))
-        spill_rows = np.zeros(E, np.int64)
-        spill_cols = np.zeros(E, np.int64)
-        spill_vals = np.zeros(E)
-        spill_rows[: len(sp_r)] = sp_r
-        spill_cols[: len(sp_r)] = sp_c
-        spill_vals[: len(sp_r)] = sp_v
+        if len(sp_r):
+            sbr, sbc = sp_r // B, sp_c // B
+            spair = sbr * nb + sbc
+            upair_s, inv = np.unique(spair, return_inverse=True)
+            ns = len(upair_s)
+            sblk_a = np.zeros((ns, B, B), np.float64)
+            np.add.at(sblk_a, (inv, sp_r - sbr * B, sp_c - sbc * B), sp_v)
+            sblk_row = (upair_s // nb).astype(np.int32)
+            sblk_nbr = (upair_s % nb).astype(np.int32)
+        else:
+            sblk_row = np.zeros(1, np.int32)
+            sblk_nbr = np.zeros(1, np.int32)
+            sblk_a = np.zeros((1, B, B), np.float64)
         return cls(iperm=jnp.asarray(iperm.astype(np.int32)),
                    nbr=jnp.asarray(nbr_list),
                    a_loc=jnp.asarray(a_loc.astype(dtype)),
-                   spill_rows=jnp.asarray(spill_rows.astype(np.int32)),
-                   spill_cols=jnp.asarray(spill_cols.astype(np.int32)),
-                   spill_vals=jnp.asarray(spill_vals.astype(dtype)),
+                   sblk_row=jnp.asarray(sblk_row),
+                   sblk_nbr=jnp.asarray(sblk_nbr),
+                   sblk_a=jnp.asarray(sblk_a.astype(dtype)),
                    block=B)
 
     @property
@@ -212,9 +226,9 @@ class BsrMatrix:
         neigh = vb[self.nbr]                       # (nb, deg, B, c) blocks
         neigh = neigh.reshape(nb, -1, c)           # (nb, deg*B, c)
         out = jnp.einsum("nbd,ndc->nbc", self.a_loc, neigh)
-        out = out.reshape(nb * B, c)
-        return out.at[self.spill_rows].add(
-            self.spill_vals[:, None] * vp[self.spill_cols])
+        extra = jnp.einsum("sij,sjc->sic", self.sblk_a, vb[self.sblk_nbr])
+        out = out.at[self.sblk_row].add(extra)     # (B, c)-block scatter
+        return out.reshape(nb * B, c)
 
     def apply(self, v):
         """v (n, c) -> A v (n, c) in original numbering."""
@@ -353,11 +367,23 @@ def _solve_x(system: GeometrySystem, z_hard, u, z_soft, x_warm=None,
         rhs_b = system.constrain_rows(bsr.to_blocked(rhs))
         x0_b = bsr.to_blocked(x_warm) if x_warm is not None else None
         mgb = system.mg_b
-        x_b, it = pcg(bsr.apply_blocked, rhs_b, system.precond_diag_b,
-                      tol=system.cg_tol, max_iters=system.cg_max_iters,
-                      x0=x0_b,
-                      precond=mgb.apply if mgb is not None else None,
-                      row_sharding=system.vert_sharding)
+        from .linear import pcg_banded, use_pallas_cg
+        if (use_pallas_cg() and system.vert_sharding is None
+                and rhs_b.dtype == jnp.float32):
+            # Pallas-fused CG vector updates (VERDICT r4 #1): measured
+            # 2.42 -> 0.43 ms/CG-iteration of vector-op cost at wiremesh
+            # scale (tools/bench_cg_pallas.py, real chip). Single-device
+            # f32 only; the sharded path keeps the psum-friendly pcg.
+            x_b, it = pcg_banded(
+                bsr.apply_blocked, rhs_b, system.precond_diag_b,
+                tol=system.cg_tol, max_iters=system.cg_max_iters, x0=x0_b,
+                precond=mgb.apply if mgb is not None else None)
+        else:
+            x_b, it = pcg(bsr.apply_blocked, rhs_b, system.precond_diag_b,
+                          tol=system.cg_tol, max_iters=system.cg_max_iters,
+                          x0=x0_b,
+                          precond=mgb.apply if mgb is not None else None,
+                          row_sharding=system.vert_sharding)
         x = bsr.from_blocked(x_b, system.n_verts)
         return (x, it) if with_iters else x
 

@@ -166,3 +166,64 @@ def pcg(operator: Callable, rhs, diag, tol: float = 1e-12,
     x, r, p, rz, rr, it = jax.lax.while_loop(
         cond, body, (x, r, p, rz, rr, jnp.int32(0)))
     return x, it
+
+
+def use_pallas_cg() -> bool:
+    """Banded (Pallas-fused) CG is the default on accelerator backends for
+    f32 solves; AAADMM_PALLAS=0 opts out. On CPU the interpreter would be
+    slower than XLA, so the jnp path stays (tests force it explicitly)."""
+    import os
+    env = os.environ.get("AAADMM_PALLAS")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() != "cpu"
+
+
+def pcg_banded(operator: Callable, rhs, diag, tol: float = 1e-12,
+               max_iters: int = 400, x0=None,
+               precond: Optional[Callable] = None, row_sharding=None):
+    """pcg with the vector half of each iteration fused into two Pallas
+    kernels (ops/pallas_kernels.py; VERDICT r4 #1): the device trace showed
+    ~3 ms/CG-iteration of small (n, 3) fusions (x/r/p axpys + stacked dots)
+    around the at-roof matvec+preconditioner pair. Here the CG vectors are
+    carried in band layout — (n, c) viewed as (c*8, n/8), the free reshape
+    of the transpose — so per-column dots are 8-sublane band sums and one
+    kernel covers {pAp, alpha, x, r, rr} while a second covers
+    {rz, beta, p}; the operator/preconditioner boundaries transpose back.
+
+    Same semantics as pcg (per-column alpha/beta, frozen converged
+    columns); f32 reduction order differs (banded sums), so trajectories
+    match pcg to roundoff, not bitwise. Single-device only (the band
+    carries are not row-sharded; the sharded multi-chip path keeps pcg)."""
+    from ..ops import pallas_kernels as pk
+
+    if precond is None:
+        Minv_diag = (1.0 / diag)[:, None]
+        precond = lambda r: Minv_diag * r
+    n, c = rhs.shape
+    x = jnp.zeros_like(rhs) if x0 is None else x0
+    r = rhs - operator(x)
+    z = precond(r)
+    p = z
+    s = jnp.sum(jnp.stack([r * z, r * r]), axis=1)
+    rz, rr = s[0], s[1]
+    thresh = jnp.maximum(jnp.sum(rhs * rhs, axis=0), 1e-300) * (tol * tol)
+    xb, rb, pb = pk.to_band(x), pk.to_band(r), pk.to_band(p)
+
+    def cond(carry):
+        xb, rb, pb, rz, rr, it = carry
+        return (it < max_iters) & jnp.any(rr > thresh)
+
+    def body(carry):
+        xb, rb, pb, rz, rr, it = carry
+        Ap = operator(pk.from_band(pb, n, c))
+        xb, rb, rr_new = pk.cg_update1(rz, pb, pk.to_band(Ap), xb, rb,
+                                       rr_prev=rr, thresh=thresh)
+        z = precond(pk.from_band(rb, n, c))
+        pb, rz_new = pk.cg_update2(rz, rb, pk.to_band(z), pb,
+                                   rr_prev=rr, thresh=thresh)
+        return xb, rb, pb, rz_new, rr_new, it + 1
+
+    xb, rb, pb, rz, rr, it = jax.lax.while_loop(
+        cond, body, (xb, rb, pb, rz, rr, jnp.int32(0)))
+    return pk.from_band(xb, n, c), it

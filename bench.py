@@ -198,6 +198,28 @@ def _maybe_profile(solver, name):
         solver.flush_traces()
 
 
+def _phase_device(solver, iters, pre=None):
+    """Trace-derived per-phase split (VERDICT r4 #5): one fused step under
+    jax.profiler, device events bucketed into the reference's
+    global/local/acceleration RuntimeData phases via the phase_* named
+    scopes in solver/physics.py (tools/phase_trace.py). Unlike
+    phase_ms_per_iter (host-loop dispatch-sync upper bounds) these are
+    device-timeline kernel times."""
+    import jax
+    if jax.devices()[0].platform == "cpu":
+        return {}
+    try:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import phase_trace
+        if pre:
+            pre()
+        return {"phase_ms_per_iter_device":
+                phase_trace.device_phase_split(solver, iters)}
+    except Exception as e:                       # diagnostic only
+        return {"phase_ms_per_iter_device": {"error": str(e)}}
+
+
 def _phase_breakdown(solver, iters):
     """One instrumented step (per-phase dispatches — RuntimeData::print
     parity, Solver.cpp:551-564). Upper bounds on TPU (each phase pays its
@@ -243,6 +265,8 @@ def bench_beams():
     prim = np.asarray(traces.prim, np.float64)
     ok = ok and _prim_ok(prim)
     out.update(_phase_breakdown(solver, s.admm_iters))
+    out.update(_phase_device(solver, s.admm_iters,
+                             pre=lambda: stretch(s.timestep_s)))
     _maybe_profile(solver, "beams")
     # Measured time-to-tolerance (combined residual < 1e-5 x initial) with
     # honest chunk-boundary timestamps. The chunked dispatch path compiles
@@ -299,6 +323,7 @@ def _zxu_scene(build, iters, n_steps):
     prim = np.asarray(traces.prim, np.float64)
     ok = ok and _prim_ok(prim)
     out.update(_phase_breakdown(solver, iters))
+    out.update(_phase_device(solver, iters))
     _maybe_profile(solver, "zxu")
     return out, ok
 

@@ -14,3 +14,19 @@ import jax  # noqa: E402
 # at interpreter start; override back to CPU before any backend initializes.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _bound_compiler_state():
+    """Drop the jit caches after every test module. With the round-5 test
+    volume, accumulated in-process XLA:CPU compiler state deterministically
+    segfaulted a LATE large compile (test_trace_chunk's _step_chunked)
+    when the whole suite ran in one process; per-module cache clearing
+    bounds that state. Costs some recompilation (modules mostly build
+    distinct scenes anyway)."""
+    yield
+    import jax as _jax
+    _jax.clear_caches()

@@ -86,7 +86,7 @@ def main():
         t0 = time.time()
         bsr = BsrMatrix.from_csr(A_csr, dtype, x0_np, block=blk, deg_cap=cap)
         build_s = time.time() - t0
-        spill = int(np.sum(np.asarray(bsr.spill_vals) != 0))
+        spill = int(np.sum(np.asarray(bsr.sblk_a) != 0))
         vb = bsr.to_blocked(jnp.asarray(x0_np.astype(dtype)))
         mv = jax.jit(bsr.apply_blocked)
         dt, _ = timeit(mv, vb, n=20)

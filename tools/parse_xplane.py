@@ -8,7 +8,10 @@ from collections import defaultdict
 
 
 def load_xspace(root):
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    import os, sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from _xplane import load_xplane_pb2
+    xplane_pb2 = load_xplane_pb2()
     paths = glob.glob(f"{root}/**/*.xplane.pb", recursive=True)
     if not paths:
         raise SystemExit(f"no .xplane.pb under {root}")
