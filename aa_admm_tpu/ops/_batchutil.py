@@ -59,3 +59,30 @@ def cast_floats(batch, dtype):
     if h is not None:
         object.__setattr__(out, "_host", h)
     return out
+
+
+def build_inverse_table(idx_flat, n_verts, dtype):
+    """Inverse adjacency of a scatter: for each destination vertex, the
+    positions in the FLATTENED contribution array that sum into it, padded
+    to the max valence. Turns ``segment_sum(contrib, idx)`` into
+    ``sum_k contrib[inv_idx[v, k]] * inv_mask[v, k]`` — a padded gather,
+    which this backend's gather unit runs ~3x faster than its scatter
+    path at 12-byte rows (measured on the wiremesh rhs assembly, PERF.md
+    r5). Valence is near-uniform on mesh constraint graphs (MaleTorso:
+    angle max 12 / mean 11.95), so the padding is negligible.
+
+    Returns (inv_idx (n_verts, K) int32, inv_mask (n_verts, K) dtype).
+    """
+    idx_flat = np.asarray(idx_flat).reshape(-1).astype(np.int64)
+    counts = np.bincount(idx_flat, minlength=n_verts)
+    K = max(int(counts.max()), 1)
+    starts = np.zeros(n_verts + 1, np.int64)
+    starts[1:] = np.cumsum(counts)
+    order = np.argsort(idx_flat, kind="stable")
+    sorted_v = idx_flat[order]
+    pos_in_v = np.arange(len(idx_flat)) - starts[sorted_v]
+    inv_idx = np.zeros((n_verts, K), np.int32)
+    inv_mask = np.zeros((n_verts, K), dtype)
+    inv_idx[sorted_v, pos_in_v] = order.astype(np.int32)
+    inv_mask[sorted_v, pos_in_v] = 1
+    return inv_idx, inv_mask

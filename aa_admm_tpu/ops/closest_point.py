@@ -262,6 +262,14 @@ class CPCache(NamedTuple):
     idx: jnp.ndarray     # (Q, K) int32 candidate triangle ids
     p0: jnp.ndarray      # (Q, 3)  query positions at cache time
     slack: jnp.ndarray   # (Q,)    validity margin (-inf forces refresh)
+    # Optional pre-transposed candidate COORDINATES (9, K, Qp) for the
+    # Pallas fast path: while the cache is valid the candidates are
+    # constant, so caching them in kernel layout removes the
+    # per-iteration gather + relayout (the two largest remaining items
+    # of the small-scene trace, ~0.9 ms/trial at costa2k — PERF.md r5).
+    # Only armed for small flat caches (Q*K bounded; the wiremesh-scale
+    # equivalent was the r4 compile-OOM'd coordinate cache).
+    candT: Optional[jnp.ndarray] = None
 
 
 class CPCacheGroup(NamedTuple):
@@ -284,10 +292,18 @@ class CPCacheGroup(NamedTuple):
     slack: jnp.ndarray   # (Q,)
 
 
-def cp_cache_init(n_queries: int, k: int, dtype) -> CPCache:
+def cp_cache_init(n_queries: int, k: int, dtype,
+                  with_candT: bool = False) -> CPCache:
+    candT = None
+    if with_candT:
+        from .pallas_kernels import ericson_tile
+        qt = min(ericson_tile(k), max(-(-n_queries // 128) * 128, 128))
+        qp = n_queries + (-n_queries) % qt
+        candT = jnp.zeros((9, k, qp), dtype)
     return CPCache(idx=jnp.zeros((n_queries, k), jnp.int32),
                    p0=jnp.zeros((n_queries, 3), dtype),
-                   slack=jnp.full((n_queries,), -jnp.inf, dtype))
+                   slack=jnp.full((n_queries,), -jnp.inf, dtype),
+                   candT=candT)
 
 
 def cp_cache_group_init(n_queries: int, n_groups: int, dtype) -> CPCacheGroup:
@@ -296,7 +312,8 @@ def cp_cache_group_init(n_queries: int, n_groups: int, dtype) -> CPCacheGroup:
                         slack=jnp.full((n_queries,), -jnp.inf, dtype))
 
 
-def _cp_refresh(p, tri_verts, k: int, query_tile: int):
+def _cp_refresh(p, tri_verts, k: int, query_tile: int,
+                with_candT: bool = False):
     """Full 2-stage query + fresh cache (idx, p0=p, slack).
 
     The cache keeps the k nearest candidates by EXACT distance out of a
@@ -351,7 +368,17 @@ def _cp_refresh(p, tri_verts, k: int, query_tile: int):
     q = q.reshape(-1, 3)[:P]
     idx = idx.reshape(P + pad_q, k)[:P]
     slack = slack.reshape(-1)[:P]
-    return q, CPCache(idx=idx.astype(jnp.int32), p0=p, slack=slack)
+    candT = None
+    if with_candT:
+        from .pallas_kernels import ericson_tile
+        qt2 = min(ericson_tile(k), max(-(-P // 128) * 128, 128))
+        padT = (-P) % qt2
+        cand = tri_verts[idx]                    # one gather per REFRESH
+        candT = jnp.pad(
+            jnp.transpose(cand.reshape(P, k, 9), (2, 1, 0)),
+            ((0, 0), (0, 0), (0, padT)))
+    return q, CPCache(idx=idx.astype(jnp.int32), p0=p, slack=slack,
+                      candT=candT)
 
 
 def _gather_sub_tris(tri_sub, gidx):
@@ -503,11 +530,26 @@ def closest_point_cached(p, tri_verts, cache: CPCache,
     tri_verts = tri_verts.astype(p.dtype)
     moved = jnp.sqrt(jnp.sum((p - cache.p0) ** 2, axis=-1))
     need = jnp.any(2.0 * moved >= cache.slack)
+    with_candT = cache.candT is not None
 
     def refresh(_):
-        return _cp_refresh(p, tri_verts, k, query_tile)
+        return _cp_refresh(p, tri_verts, k, query_tile,
+                           with_candT=with_candT)
 
     def fast(_):
+        if with_candT:
+            # Candidates cached in kernel layout: the fast path is the
+            # fused Ericson kernel alone — no gather, no relayout.
+            from .pallas_kernels import ericson_candidates_T, ericson_tile
+            P = p.shape[0]
+            Qp = cache.candT.shape[2]
+            qt = min(ericson_tile(k), max(-(-P // 128) * 128, 128))
+            pT = jnp.pad(p.T, ((0, 0), (0, Qp - P)))
+            qv, _ = ericson_candidates_T(pT, cache.candT, qt)
+            return qv[:, :P].T, cache
+        return _fast_gather(_)
+
+    def _fast_gather(_):
         # Tiled like the refresh: at wiremesh scale the unchunked candidate
         # gather would materialize (Q, K, 3, 3) = tens of GB at once.
         P = p.shape[0]

@@ -44,6 +44,33 @@ from ._batchutil import (  # noqa: F401 (re-export)
     _host_mirror, _static, cast_floats, hostarr)
 
 
+def _gather_scatter(contrib_flat, inv_idx, inv_mask):
+    """Adjoint scatter in gather form (see _batchutil.build_inverse_table)."""
+    g = contrib_flat[inv_idx]                       # (n, K, 3)
+    return jnp.sum(g * inv_mask[..., None], axis=1)
+
+
+def with_gather_adjoint(batch, n_verts):
+    """Copy of a constraint batch with its scatter() precomputed in padded
+    gather form. Valid for batches whose scatter is a plain segment_sum
+    over idx (Angle/EdgeLength/Plane). Built once at setup; used on the
+    TPU hot path (the sharded path keeps segment_sum — its psum structure
+    is part of the multichip contract)."""
+    if not hasattr(batch, "inv_idx") or batch.inv_idx is not None:
+        return batch
+    from ._batchutil import build_inverse_table
+    # DEVICE dtype, not the host mirror's (mirrors stay f64 after
+    # cast_floats — an f64 mask here poisons the whole f32 loop carry).
+    dt = np.dtype(batch.w.dtype)
+    inv_idx, inv_mask = build_inverse_table(
+        hostarr(batch, "idx"), n_verts, dt)
+    out = dataclasses.replace(batch, inv_idx=jnp.asarray(inv_idx),
+                              inv_mask=jnp.asarray(inv_mask))
+    if hasattr(batch, "_host"):
+        object.__setattr__(out, "_host", batch._host)
+    return out
+
+
 def _pad_rows(rows, pad_val=0):
     k = max(len(r) for r in rows)
     out = np.full((len(rows), k), pad_val, np.int32)
@@ -64,6 +91,8 @@ class PlaneBatch:
     mask: jnp.ndarray   # (C, K) bool
     count: jnp.ndarray  # (C,) float — valence
     w: jnp.ndarray      # (C,)
+    inv_idx: Optional[jnp.ndarray] = None   # (n, Kv) gather-form adjoint
+    inv_mask: Optional[jnp.ndarray] = None  # (n, Kv)
 
     @classmethod
     def create(cls, faces, weight, dtype=np.float64):
@@ -97,6 +126,12 @@ class PlaneBatch:
         tm = t * self.mask[..., None]
         mean = jnp.sum(tm, axis=1) / self.count[:, None]
         tc = (tm - mean[:, None, :]) * self.mask[..., None]
+        if self.inv_idx is not None:
+            # Padded idx slots alias vertex 0 but their tc rows are
+            # mask-zeroed, and the inverse table was built over the SAME
+            # padded idx, so the aliased positions contribute zeros.
+            return _gather_scatter(tc.reshape(-1, 3),
+                                   self.inv_idx, self.inv_mask)
         return jax.ops.segment_sum(tc.reshape(-1, 3), self.idx.reshape(-1),
                                    num_segments=n_verts)
 
@@ -125,6 +160,8 @@ class AngleBatch:
     w: jnp.ndarray          # (C,)
     min_angle: jnp.ndarray  # (C,)
     max_angle: jnp.ndarray  # (C,)
+    inv_idx: Optional[jnp.ndarray] = None   # (n, K) gather-form adjoint
+    inv_mask: Optional[jnp.ndarray] = None  # (n, K)
 
     @classmethod
     def create(cls, triples, weight, min_radian, max_radian, dtype=np.float64):
@@ -155,6 +192,9 @@ class AngleBatch:
     def scatter(self, t, n_verts):
         contrib = jnp.concatenate(
             [-(t[:, 0] + t[:, 1])[:, None, :], t], axis=1)  # (C, 3, 3)
+        if self.inv_idx is not None:
+            return _gather_scatter(contrib.reshape(-1, 3),
+                                   self.inv_idx, self.inv_mask)
         return jax.ops.segment_sum(contrib.reshape(-1, 3),
                                    self.idx.reshape(-1), num_segments=n_verts)
 
@@ -210,6 +250,8 @@ class EdgeLengthBatch:
     idx: jnp.ndarray      # (C, 2)
     w: jnp.ndarray        # (C,)
     target: jnp.ndarray   # (C,)
+    inv_idx: Optional[jnp.ndarray] = None   # (n, K) gather-form adjoint
+    inv_mask: Optional[jnp.ndarray] = None  # (n, K)
 
     @classmethod
     def create(cls, pairs, weight, target_length, dtype=np.float64):
@@ -235,6 +277,9 @@ class EdgeLengthBatch:
 
     def scatter(self, t, n_verts):
         contrib = jnp.concatenate([-t, t], axis=1)  # (C, 2, 3)
+        if self.inv_idx is not None:
+            return _gather_scatter(contrib.reshape(-1, 3),
+                                   self.inv_idx, self.inv_mask)
         return jax.ops.segment_sum(contrib.reshape(-1, 3),
                                    self.idx.reshape(-1), num_segments=n_verts)
 
@@ -364,14 +409,20 @@ class RefSurfaceBatch:
         small enough that the one-shot brute-force sweep is already cheap.
         With host-built groups the cache is group-granular (CPCacheGroup) —
         tiny carried state, block-gathered candidates."""
-        from .closest_point import cp_cache_group_init, cp_cache_init
+        from .closest_point import _use_pallas, cp_cache_group_init, \
+            cp_cache_init
         T = int(self.tri_verts.shape[0])
         if T <= _CP_2STAGE_THRESHOLD:
             return None
         if self.grp_tris is not None:
             return cp_cache_group_init(int(self.idx.shape[0]),
                                        self.cp_groups, dtype)
-        return cp_cache_init(int(self.idx.shape[0]), min(48, T), dtype)
+        Q, k = int(self.idx.shape[0]), min(48, T)
+        # Pallas fast path: also cache the candidate coordinates in kernel
+        # layout (bounded size — flat caches only exist for mid meshes).
+        with_candT = (_use_pallas() and np.dtype(dtype) == np.float32
+                      and Q * k <= 1_000_000)
+        return cp_cache_init(Q, k, dtype, with_candT=with_candT)
 
     def project_cached(self, p, cache):
         """project() through the movement-bounded candidate cache — exact,

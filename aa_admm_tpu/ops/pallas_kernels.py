@@ -120,26 +120,44 @@ def _ericson_kernel(p_ref, cand_ref, q_ref, d_ref):
     d_ref[0] = dmin[0]
 
 
+def ericson_tile(K: int, q_tile: int = 4096) -> int:
+    """Query-tile width for the Ericson kernel: Mosaic stack-allocates
+    every live (K, qt) temporary in VMEM (~25-30 of them) — cap K*qt so
+    the scoped allocation stays well under the 16 MB limit (measured:
+    K*qt=141k OOM'd at 18.5 MB)."""
+    return max(128, min(q_tile, (49152 // max(K, 1)) // 128 * 128))
+
+
 @functools.partial(jax.jit, static_argnames=("q_tile",))
 def ericson_candidates(p, cand, q_tile: int = 4096):
     """Exact closest point over per-query candidate triangles, one fused
     kernel. Drop-in for ops.closest_point._closest_point_candidates:
     p (Q, 3), cand (Q, K, 3, 3) -> (points (Q, 3), sqdist (Q,))."""
     Q, K = cand.shape[0], cand.shape[1]
-    dt = p.dtype
-    # Mosaic stack-allocates every live (K, qt) temporary in VMEM (~25-30
-    # of them in this kernel) — cap K*qt so the scoped allocation stays
-    # well under the 16 MB limit (measured: K*qt=141k OOM'd at 18.5 MB).
-    qt = min(q_tile, max(Q, 1), max(128, (49152 // max(K, 1)) // 128 * 128))
-    qt = max(qt, 128)
+    qt = min(ericson_tile(K, q_tile), max((Q + 127) // 128 * 128, 128))
     pad = (-Q) % qt
     # (9, K, Q): coordinate planes on the major axis, candidates on
     # sublanes, queries on lanes. One XLA relayout feeding one kernel.
     candT = jnp.transpose(cand.reshape(Q, K, 9), (2, 1, 0))
     candT = jnp.pad(candT, ((0, 0), (0, 0), (0, pad)))
     pT = jnp.pad(p.T, ((0, 0), (0, pad)))
+    qv, dv = ericson_candidates_T(pT, candT, qt)
+    return qv[:, :Q].T, dv[0, :Q]
 
-    grid = (Q + pad) // qt
+
+@functools.partial(jax.jit, static_argnames=("qt",))
+def ericson_candidates_T(pT, candT, qt: int):
+    """The kernel on PRE-TRANSPOSED inputs: pT (3, Qp), candT (9, K, Qp)
+    with Qp a multiple of qt (see ericson_tile). Returns
+    (qv (3, Qp), dv (1, Qp)). Exposed so callers that CACHE candT across
+    iterations (the flat cp-cache fast path — candidates are constant
+    while the cache is valid) skip the per-iteration gather + relayout
+    entirely."""
+    K = candT.shape[1]
+    Qp = candT.shape[2]
+    dt = pT.dtype
+
+    grid = Qp // qt
     # Index maps may not capture tracers and python-int constants lowered
     # to i64 fail Mosaic legalization on this backend — derive the zero
     # from the (i32) grid index instead.
@@ -159,11 +177,11 @@ def ericson_candidates(p, cand, q_tile: int = 4096):
             pl.BlockSpec((1, qt), lambda i: (jnp.zeros_like(i), i),
                          memory_space=pltpu.VMEM),
         ),
-        out_shape=(jax.ShapeDtypeStruct((3, Q + pad), dt),
-                   jax.ShapeDtypeStruct((1, Q + pad), dt)),
+        out_shape=(jax.ShapeDtypeStruct((3, Qp), dt),
+                   jax.ShapeDtypeStruct((1, Qp), dt)),
         interpret=_interpret(),
     )(pT, candT)
-    return qv[:, :Q].T, dv[0, :Q]
+    return qv, dv
 
 
 # ---------------------------------------------------------------------------

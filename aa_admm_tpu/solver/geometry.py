@@ -832,6 +832,32 @@ class ALMGeometrySolver:
                         inv_diag=jnp.asarray(invd_b.astype(self.dtype)))
             bsr_kw = dict(bsr=self._bsr, precond_diag_b=self._diag_b,
                           mg_b=self._mg_b)
+        # Gather-form scatter adjoints (PERF.md r5): on the accelerator the
+        # per-trial rhs assembly scatters cost ~49 ms/trial at wiremesh
+        # scale through the slow 12-byte-row scatter path; the padded
+        # per-vertex gather form runs ~3x faster (wiremesh 35.2 -> 31.5 s).
+        # AT-SCALE (BSR-path) SOLVES ONLY: the small planarity scenes are
+        # latency-bound (no win) and the changed f32 summation order
+        # measurably perturbs their chaotic accept/reject + cp-cache-slack
+        # trajectories (airport3k went 7x slower via chronic refreshes when
+        # this was armed globally). Built once per solver (cached — the
+        # pytree structure change would otherwise recompile every solve).
+        # The sharded path keeps segment_sum (its psum structure is the
+        # multichip contract), as does CPU.
+        if (bool(bsr_kw)
+                and self.system.vert_sharding is None
+                and jax.default_backend() != "cpu"
+                and os.environ.get("AAADMM_GATHER_SCATTER", "1") != "0"):
+            if getattr(self, "_armed_batches", None) is None:
+                from ..ops.constraints import with_gather_adjoint
+                self._armed_batches = (
+                    tuple(with_gather_adjoint(b, self.system.n_verts)
+                          for b in self.system.hard),
+                    tuple(with_gather_adjoint(b, self.system.n_verts)
+                          for b in self.system.soft))
+            self.system = dataclasses.replace(
+                self.system, hard=self._armed_batches[0],
+                soft=self._armed_batches[1])
         self.system = dataclasses.replace(
             self.system, max_iter=chunk,
             anderson_m=int(anderson_m), accel=anderson_m > 0,

@@ -406,3 +406,51 @@ def test_flat_cache_slack_positive_for_on_surface_queries():
     # and the refresh value is the true closest point (distance ~0 here)
     d = np.linalg.norm(np.asarray(q) - np.asarray(out), axis=1)
     assert d.max() < 1e-9
+
+
+def test_gather_adjoint_scatter_matches_segment_sum():
+    """with_gather_adjoint must reproduce the segment_sum scatter exactly
+    (f64) for every batch type that supports it — the TPU hot path swaps
+    the 12-byte-row scatter for a padded per-vertex gather (PERF.md r5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from aa_admm_tpu.ops.constraints import (AngleBatch, EdgeLengthBatch,
+                                             PlaneBatch, with_gather_adjoint)
+
+    rng = np.random.default_rng(11)
+    n = 40
+    tri = rng.integers(0, n, (25, 3))
+    edges = rng.integers(0, n, (30, 2))
+    faces = [list(rng.choice(n, size=rng.integers(3, 6), replace=False))
+             for _ in range(12)]
+
+    batches = [
+        (AngleBatch.create(tri, 1.0, 0.3, 2.8), (25, 2, 3)),
+        (EdgeLengthBatch.create(edges, 1.0, 0.9), (30, 1, 3)),
+        (PlaneBatch.create(faces, 1.0), None),
+    ]
+    for b, shape in batches:
+        shape = shape or b.block_shape
+        t = jnp.asarray(rng.standard_normal(shape))
+        ref = np.asarray(b.scatter(t, n))
+        armed = with_gather_adjoint(b, n)
+        assert armed.inv_idx is not None
+        out = np.asarray(armed.scatter(t, n))
+        np.testing.assert_allclose(out, ref, rtol=1e-13, atol=1e-13), type(b)
+
+
+def test_gather_adjoint_respects_cast_dtype():
+    """Arming a cast_floats'ed batch must take the DEVICE dtype, not the
+    f64 host mirror's — an f64 inv_mask poisons the f32 loop carry (the
+    exact leak that broke the planarity scenes when first shipped; the
+    CPU-gated scenes tests cannot catch it because arming is
+    accelerator-only)."""
+    import numpy as np
+    from aa_admm_tpu.ops.constraints import (AngleBatch, cast_floats,
+                                             with_gather_adjoint)
+    rng = np.random.default_rng(5)
+    b = AngleBatch.create(rng.integers(0, 20, (10, 3)), 1.0, 0.3, 2.8,
+                          dtype=np.float64)
+    b32 = cast_floats(b, np.float32)
+    armed = with_gather_adjoint(b32, 20)
+    assert armed.inv_mask.dtype == np.float32, armed.inv_mask.dtype

@@ -120,3 +120,34 @@ def test_pcg_banded_matches_pcg():
     assert (r2 / rhsn < 1e-9).all()
     np.testing.assert_allclose(np.asarray(x2), np.asarray(x1),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_cached_candT_fast_path_matches_plain(monkeypatch):
+    """The candT-cached fast path (Pallas interpret on CPU) must agree
+    with the plain gather-based cached path: same points on the fast
+    branch AND after a forced refresh."""
+    monkeypatch.setenv("AAADMM_PALLAS", "1")
+    from aa_admm_tpu.ops.closest_point import (closest_point_cached,
+                                               cp_cache_init)
+    rng = np.random.default_rng(9)
+    T, Q = 500, 200
+    tri = jnp.asarray(rng.standard_normal((T, 3, 3)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((Q, 3)), jnp.float32) * 2.0
+
+    c_plain = cp_cache_init(Q, 48, jnp.float32, with_candT=False)
+    c_ct = cp_cache_init(Q, 48, jnp.float32, with_candT=True)
+    assert c_ct.candT is not None
+
+    # First call: slack -inf -> refresh on both paths.
+    q1, c_plain = closest_point_cached(p, tri, c_plain)
+    q2, c_ct = closest_point_cached(p, tri, c_ct)
+    np.testing.assert_allclose(np.asarray(q2), np.asarray(q1),
+                               rtol=1e-5, atol=1e-5)
+    assert c_ct.candT is not None
+
+    # Small move: fast path on both (candT path = kernel only).
+    p2 = p + 1e-5
+    q1b, _ = closest_point_cached(p2, tri, c_plain)
+    q2b, _ = closest_point_cached(p2, tri, c_ct)
+    np.testing.assert_allclose(np.asarray(q2b), np.asarray(q1b),
+                               rtol=1e-5, atol=1e-5)
