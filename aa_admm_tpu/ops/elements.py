@@ -8,13 +8,28 @@ computes D x as a gather + small matmul per element, and ``scatter`` applies
 D^T via ``jax.ops.segment_sum`` (deterministic, bit-reproducible — the
 functional replacement for the reference's OpenMP scatter loops).
 
-z-block shape conventions (matching the flattened layouts of the reference):
-  tets  -> (E, 3, 3)   deformation gradient F = [x1-x0|x2-x0|x3-x0] B^-1
-           (TetEnergyTerm::get_reduction, TetEnergyTerm.cpp:67-88)
-  tris  -> (E, 3, 2)   3x2 deformation gradient in the 2D rest basis
-           (TriEnergyTerm.cpp:30-71)
-  pins/collisions -> (E, 3) vertex positions (identity reduction,
+z-block shape conventions — PLANE FORM (component-major, round 5): every
+block flowing through the solvers is a rank-2 array (C, E) whose rows are
+the C components of the per-element quantity, row-major over the logical
+shape, and whose columns are the elements:
+  tets  -> (9, E)   deformation gradient F = [x1-x0|x2-x0|x3-x0] B^-1,
+           plane 3*i+j = F[i, j] (TetEnergyTerm::get_reduction,
+           TetEnergyTerm.cpp:67-88)
+  tris  -> (6, E)   3x2 deformation gradient in the 2D rest basis,
+           plane 2*i+j = F[i, j] (TriEnergyTerm.cpp:30-71)
+  pins/collisions -> (3, E) vertex positions (identity reduction,
            SpringEnergyTerm.hpp:60-65, CollisionEnergyTerm.hpp:72-77)
+
+Why plane form: on TPU a materialized (E, 3, 3) array puts a size-3 axis
+on the 128-wide lane dimension of the (8, 128) tile — ~40x memory
+inflation for every loop-carried z/u buffer, plus relayout copies at
+every fusion boundary (measured 24% of the plinkohit device step in r5
+traces, see PERF.md). (C, E) keeps elements on lanes at full density, the
+AA flatten is a free bitcast, and per-element weights broadcast natively
+((C, E) * (E,)). The unrolled math in ops/mat3.py / ops/prox.py still
+sees logical (E, *zdim) views via ``p2m``/``m2p`` — XLA fuses the
+transposes into the surrounding elementwise work, so no (E, 3, 3) buffer
+is ever materialized.
 """
 
 from __future__ import annotations
@@ -37,6 +52,18 @@ _SQRT2 = float(np.sqrt(2.0))
 
 
 from ._batchutil import _host_mirror, _static, hostarr  # noqa: F401 (re-export)
+
+
+def m2p(a):
+    """Logical (E, *zdim) -> plane form (C, E); C = prod(zdim) row-major.
+    A logical transpose — fuses away inside elementwise chains."""
+    return a.reshape(a.shape[0], -1).T
+
+
+def p2m(p, zdim):
+    """Plane form (C, E) -> logical (E, *zdim) view for ops/mat3-style
+    unrolled math."""
+    return p.T.reshape((p.shape[-1],) + tuple(zdim))
 
 
 @jax.tree_util.register_dataclass
@@ -86,50 +113,75 @@ class TetBatch:
                             w=w.astype(np.float64))
 
     def deform(self, x):
-        """D x: per-element deformation gradient from positions x (n, 3)."""
+        """D x: per-element deformation gradient from positions x (n, 3),
+        in plane form (9, E). F[i, j] = sum_k (x_{k+1} - x_0)[i] B[k, j] —
+        the same unrolled sums as the old mat3.mmul path, built directly
+        as planes so no (E, 3, 3) buffer materializes."""
         g = x[self.tets]                                   # (E, 4, 3)
-        edges = jnp.swapaxes(g[:, 1:] - g[:, :1], -1, -2)  # (E, 3, 3) cols=edges
-        return mat3.mmul(edges, self.Dm_inv)
+        e = g[:, 1:] - g[:, :1]                            # (E, 3verts, 3coords)
+        B = self.Dm_inv
+        return jnp.stack([
+            e[:, 0, i] * B[:, 0, j] + e[:, 1, i] * B[:, 1, j]
+            + e[:, 2, i] * B[:, 2, j]
+            for i in range(3) for j in range(3)])          # (9, E)
 
     def scatter(self, t, n_verts):
-        """D^T t: adjoint of deform, scattered to vertex space (n, 3)."""
-        dE = mat3.mmult(t, self.Dm_inv)                    # (E, 3, 3) cols=edge grads
-        c = jnp.swapaxes(dE, -1, -2)                       # (E, 3edges, 3coords)
-        contrib = jnp.concatenate([-jnp.sum(c, axis=1, keepdims=True), c], axis=1)
+        """D^T t: adjoint of deform (t in plane form (9, E)), scattered to
+        vertex space (n, 3). dE = t_mat B^T gives the per-edge gradients;
+        vertex 0 receives -sum of the edge rows."""
+        B = self.Dm_inv
+        dE = [[t[3 * i + 0] * B[:, k, 0] + t[3 * i + 1] * B[:, k, 1]
+               + t[3 * i + 2] * B[:, k, 2] for k in range(3)]
+              for i in range(3)]                           # [coord i][edge k]
+        v0 = [-(dE[i][0] + dE[i][1] + dE[i][2]) for i in range(3)]
+        contrib = jnp.stack(
+            [jnp.stack(v0, axis=-1)]
+            + [jnp.stack([dE[0][k], dE[1][k], dE[2][k]], axis=-1)
+               for k in range(3)], axis=1)                 # (E, 4, 3)
         return jax.ops.segment_sum(contrib.reshape(-1, 3), self.tets.reshape(-1),
                                    num_segments=n_verts)
 
     def prox(self, v):
+        vm = p2m(v, self.zdim)
         if self.kind == "linear":
-            return proxops.prox_tet_linear(v, self.mu, self.lam, self.k,
-                                           self.svd_method)
-        if self.kind == "neohookean":
-            return proxops.prox_tet_neohookean(v, self.mu, self.lam, self.k,
-                                               self.svd_method)
-        if self.kind == "stvk":
-            return proxops.prox_tet_stvk(v, self.mu, self.lam, self.k,
-                                         self.svd_method)
-        raise ValueError(self.kind)
+            out = proxops.prox_tet_linear(vm, self.mu, self.lam, self.k,
+                                          self.svd_method)
+        elif self.kind == "neohookean":
+            out = proxops.prox_tet_neohookean(vm, self.mu, self.lam, self.k,
+                                              self.svd_method)
+        elif self.kind == "stvk":
+            out = proxops.prox_tet_stvk(vm, self.mu, self.lam, self.k,
+                                        self.svd_method)
+        else:
+            raise ValueError(self.kind)
+        return m2p(out)
 
     def grad(self, z):
         """dU/dF * vol at z (EnergyTerm::get_all_gradient path)."""
+        zm = p2m(z, self.zdim)
         if self.kind == "linear":
-            return proxops.grad_tet_linear(z, self.mu, self.lam, self.k, self.vol,
-                                           self.svd_method)
-        if self.kind == "neohookean":
-            return proxops.grad_tet_neohookean(z, self.mu, self.lam, self.k, self.vol)
-        if self.kind == "stvk":
-            return proxops.grad_tet_stvk(z, self.mu, self.lam, self.k, self.vol)
-        raise ValueError(self.kind)
+            out = proxops.grad_tet_linear(zm, self.mu, self.lam, self.k,
+                                          self.vol, self.svd_method)
+        elif self.kind == "neohookean":
+            out = proxops.grad_tet_neohookean(zm, self.mu, self.lam, self.k,
+                                              self.vol)
+        elif self.kind == "stvk":
+            out = proxops.grad_tet_stvk(zm, self.mu, self.lam, self.k, self.vol)
+        else:
+            raise ValueError(self.kind)
+        return m2p(out)
 
     def energy(self, z):
+        zm = p2m(z, self.zdim)
         if self.kind == "linear":
-            return proxops.energy_tet_linear(z, self.mu, self.lam, self.k, self.vol,
-                                             self.svd_method)
+            return proxops.energy_tet_linear(zm, self.mu, self.lam, self.k,
+                                             self.vol, self.svd_method)
         if self.kind == "neohookean":
-            return proxops.energy_tet_neohookean(z, self.mu, self.lam, self.k, self.vol)
+            return proxops.energy_tet_neohookean(zm, self.mu, self.lam, self.k,
+                                                 self.vol)
         if self.kind == "stvk":
-            return proxops.energy_tet_stvk(z, self.mu, self.lam, self.k, self.vol)
+            return proxops.energy_tet_stvk(zm, self.mu, self.lam, self.k,
+                                           self.vol)
         raise ValueError(self.kind)
 
 
@@ -190,30 +242,46 @@ class TriBatch:
                             w=w.astype(np.float64))
 
     def deform(self, x):
+        """D x in plane form (6, E): F[i, j] = sum_k e_k[i] R[k, j]."""
         g = x[self.tris]                                    # (E, 3, 3)
-        edges = jnp.swapaxes(g[:, 1:] - g[:, :1], -1, -2)   # (E, 3, 2) cols
-        return mat3.mmul32_22(edges, self.rest_inv)
+        e = g[:, 1:] - g[:, :1]                             # (E, 2edges, 3coords)
+        R = self.rest_inv
+        return jnp.stack([
+            e[:, 0, i] * R[:, 0, j] + e[:, 1, i] * R[:, 1, j]
+            for i in range(3) for j in range(2)])           # (6, E)
 
     def scatter(self, t, n_verts):
-        dE = mat3.mmult32(t, self.rest_inv)                 # (E, 3, 2)
-        c = jnp.swapaxes(dE, -1, -2)                        # (E, 2, 3)
-        contrib = jnp.concatenate([-jnp.sum(c, axis=1, keepdims=True), c], axis=1)
+        """Adjoint of deform (t plane form (6, E)) -> vertex space (n, 3)."""
+        R = self.rest_inv
+        dE = [[t[2 * i + 0] * R[:, k, 0] + t[2 * i + 1] * R[:, k, 1]
+               for k in range(2)] for i in range(3)]        # [coord i][edge k]
+        v0 = [-(dE[i][0] + dE[i][1]) for i in range(3)]
+        contrib = jnp.stack(
+            [jnp.stack(v0, axis=-1)]
+            + [jnp.stack([dE[0][k], dE[1][k], dE[2][k]], axis=-1)
+               for k in range(2)], axis=1)                  # (E, 3, 3)
         return jax.ops.segment_sum(contrib.reshape(-1, 3), self.tris.reshape(-1),
                                    num_segments=n_verts)
 
     def prox(self, v):
+        vm = p2m(v, self.zdim)
         if self.variant == "zxu":
-            return proxops.prox_tri_zxu(v, self.limit_min, self.limit_max)
-        return proxops.prox_tri_xzu(v, self.limit_min, self.limit_max)
+            out = proxops.prox_tri_zxu(vm, self.limit_min, self.limit_max)
+        else:
+            out = proxops.prox_tri_xzu(vm, self.limit_min, self.limit_max)
+        return m2p(out)
 
     def grad(self, z):
-        return proxops.grad_tri(z, self.mu, self.lam, self.k, self.area)
+        return m2p(proxops.grad_tri(p2m(z, self.zdim), self.mu, self.lam,
+                                    self.k, self.area))
 
     def energy(self, z):
-        return proxops.energy_tri(z, self.mu, self.lam, self.k, self.area)
+        return proxops.energy_tri(p2m(z, self.zdim), self.mu, self.lam,
+                                  self.k, self.area)
 
     def strain_violation(self, z):
-        return proxops.strain_limit_violation(z, self.limit_min, self.limit_max)
+        return proxops.strain_limit_violation(p2m(z, self.zdim),
+                                              self.limit_min, self.limit_max)
 
 
 @jax.tree_util.register_dataclass
@@ -241,19 +309,19 @@ class PinBatch:
         return _host_mirror(out, idx=idx_h, w=w)
 
     def deform(self, x):
-        return x[self.idx]
+        return x[self.idx].T                               # (3, E)
 
     def scatter(self, t, n_verts):
-        return jax.ops.segment_sum(t, self.idx, num_segments=n_verts)
+        return jax.ops.segment_sum(t.T, self.idx, num_segments=n_verts)
 
     def prox(self, v):
-        return proxops.prox_pin(v, self.target, self.active)
+        return proxops.prox_pin(v.T, self.target, self.active).T
 
     def grad(self, z):
         return jnp.zeros_like(z)
 
     def energy(self, z):
-        return jnp.zeros(z.shape[0], z.dtype)
+        return jnp.zeros(z.shape[-1], z.dtype)
 
 
 @jax.tree_util.register_dataclass
@@ -284,20 +352,20 @@ class CollisionBatch:
         return _host_mirror(out, idx=idx_h, w=w)
 
     def deform(self, x):
-        return x[self.idx]
+        return x[self.idx].T                               # (3, E)
 
     def scatter(self, t, n_verts):
-        return jax.ops.segment_sum(t, self.idx, num_segments=n_verts)
+        return jax.ops.segment_sum(t.T, self.idx, num_segments=n_verts)
 
     def prox(self, v):
-        return proxops.prox_collision(v, self.scene, self.active,
-                                      self.mesh_sdfs)
+        return proxops.prox_collision(v.T, self.scene, self.active,
+                                      self.mesh_sdfs).T
 
     def grad(self, z):
         return jnp.zeros_like(z)
 
     def energy(self, z):
-        return jnp.zeros(z.shape[0], z.dtype)
+        return jnp.zeros(z.shape[-1], z.dtype)
 
 
 @jax.tree_util.register_dataclass
@@ -338,27 +406,28 @@ class SelfCollisionBatch:
         return _host_mirror(out, idx=idx_h, w=w)
 
     def deform(self, x):
-        return x[self.idx]
+        return x[self.idx].T                               # (3, E)
 
     def scatter(self, t, n_verts):
-        return jax.ops.segment_sum(t, self.idx, num_segments=n_verts)
+        return jax.ops.segment_sum(t.T, self.idx, num_segments=n_verts)
 
     def prox(self, v):
-        pen = jnp.sum((v - self.target) * self.normal, axis=-1) < 0.0
+        vm = v.T
+        pen = jnp.sum((vm - self.target) * self.normal, axis=-1) < 0.0
         hit = self.active & pen
-        return jnp.where(hit[..., None], self.target, v)
+        return jnp.where(hit[..., None], self.target, vm).T
 
     def grad(self, z):
         return jnp.zeros_like(z)
 
     def energy(self, z):
-        return jnp.zeros(z.shape[0], z.dtype)
+        return jnp.zeros(z.shape[-1], z.dtype)
 
 
 def wexpand(batch, a):
-    """Broadcast per-element weights onto a z-block array."""
-    extra = a.ndim - batch.w.ndim
-    return batch.w.reshape(batch.w.shape + (1,) * extra)
+    """Broadcast per-element weights onto a plane-form (C, E) z-block:
+    (E,) already aligns with the trailing element axis."""
+    return batch.w
 
 
 def block_sqnorm(a):

@@ -152,6 +152,11 @@ def _sigma_newton(sv, mu, lam, k, grad_hess, value, iters=_NEWTON_ITERS):
             best_f = jnp.where(ok, fc, best_f)
         return best_s, None
 
+    # Measured both ways on the v5e (r5): the scanned loop's ~8 tiny
+    # kernels x 12 trips cost ~4 ms of the beams 100-iteration step, but
+    # STATICALLY UNROLLING is worse (beams device step 41.6 -> 50.9 ms) —
+    # the 12x-replicated Newton body defeats XLA's fusion grouping and
+    # inflates the local phase 1.5x. Keep the scan.
     s, _ = jax.lax.scan(body, s, None, length=iters)
     return s
 

@@ -155,13 +155,16 @@ class PhysicsSystem:
     # ---- element-sweep helpers (the functional L4->L2 interface) ----
 
     def constrain_elems(self, ts):
-        """Pin a tuple of per-element block arrays to the 'elem' sharding
-        (no-op single-device). Composes with vmap: the ensemble dp axis is
-        prepended to the spec automatically."""
+        """Pin a tuple of plane-form (C, E) block arrays to the 'elem'
+        sharding on their element (last) axis (no-op single-device).
+        Composes with vmap: the ensemble dp axis is prepended to the spec
+        automatically."""
         if self.elem_sharding is None:
             return ts
-        return tuple(jax.lax.with_sharding_constraint(t, self.elem_sharding)
-                     for t in ts)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        bs = NamedSharding(self.elem_sharding.mesh,
+                           P(None, *self.elem_sharding.spec))
+        return tuple(jax.lax.with_sharding_constraint(t, bs) for t in ts)
 
     def deform(self, x):
         return self.constrain_elems(tuple(b.deform(x) for b in self.batches))
@@ -173,10 +176,9 @@ class PhysicsSystem:
         return out
 
 def _wx(b, a, power=1):
-    w = b.w
-    extra = a.ndim - w.ndim
-    w = w.reshape(w.shape + (1,) * extra)
-    return (w ** power) * a
+    """Per-element weight applied to a plane-form (C, E) block: the (E,)
+    weight row broadcasts natively onto the trailing element axis."""
+    return (b.w ** power) * a
 
 
 def _tmap(fn, *trees):
@@ -203,6 +205,23 @@ def _unflatten(flat, templates):
     for t in templates:
         size = int(np.prod(t.shape))
         out.append(flat[off:off + size].reshape(t.shape))
+        off += size
+    return tuple(out)
+
+
+def _flatten_ref(ts):
+    """Element-major flatten of plane-form (C, E) blocks — the order of the
+    reference's flattened z/u vectors (element index outer, components
+    row-major inner), used only by the text checkpoint format."""
+    return jnp.concatenate([t.T.ravel() for t in ts])
+
+
+def _unflatten_ref(flat, templates):
+    """Inverse of _flatten_ref back into plane-form blocks."""
+    out, off = [], 0
+    for t in templates:
+        size = int(np.prod(t.shape))
+        out.append(flat[off:off + size].reshape(t.shape[::-1]).T)
         off += size
     return tuple(out)
 
@@ -1315,9 +1334,9 @@ class PhysicsSolver:
             outs.append(ys)
         last_z = carry["dz"] if "dz" in carry else carry["z"]
         save_admm_state_text(file_zu, file_x,
-                             np.asarray(_flatten(carry["z"])),
-                             np.asarray(_flatten(carry["u"])),
-                             np.asarray(_flatten(last_z)),
+                             np.asarray(_flatten_ref(carry["z"])),
+                             np.asarray(_flatten_ref(carry["u"])),
+                             np.asarray(_flatten_ref(last_z)),
                              np.asarray(carry["x"]))
         if aa_file:
             leaves = jax.tree_util.tree_leaves(carry)
@@ -1404,9 +1423,9 @@ class PhysicsSolver:
                           zip(template_leaves, aa_leaves)])
         else:
             dtype = carry["x"].dtype
-            zt = _unflatten(jnp.asarray(zf, dtype), carry["z"])
-            ut = _unflatten(jnp.asarray(uf, dtype), carry["u"])
-            lzt = _unflatten(jnp.asarray(lzf, dtype), carry["z"])
+            zt = _unflatten_ref(jnp.asarray(zf, dtype), carry["z"])
+            ut = _unflatten_ref(jnp.asarray(uf, dtype), carry["u"])
+            lzt = _unflatten_ref(jnp.asarray(lzf, dtype), carry["z"])
             x_full = jnp.asarray(xf, dtype).reshape(self.system.n_verts, 3)
             carry = dict(carry, x=x_full, z=zt, u=ut, dx=x_full, du=ut)
             if "dz" in carry:

@@ -134,6 +134,7 @@ def test_elem_arrays_stay_sharded():
     u = tuple(jnp.zeros_like(zb) for zb in system.deform(x))
     z = jax.jit(_update_z)(system, x, u)
     for zb in z:
+        # Plane-form blocks are (C, E): the element axis is LAST.
         spec = zb.sharding.spec
-        assert len(spec) >= 1 and spec[0] == "elem", (
+        assert len(spec) >= 2 and spec[-1] == "elem", (
             f"z block replicated: {zb.sharding}")
