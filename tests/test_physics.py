@@ -259,3 +259,41 @@ def test_run_frames_moving_pins_matches_stepwise():
     stretch_b(s.timestep_s)
     b.step()
     np.testing.assert_allclose(b.x, a.x, rtol=0, atol=1e-12)
+
+
+def test_plane_form_deform_scatter_adjoint():
+    """<D x, t> == <x, D^T t> for every batch kind in the plane-form (C, E)
+    convention — pins the hand-unrolled deform/scatter pairs in
+    ops/elements.py against each other (they are built independently)."""
+    import jax.numpy as jnp
+    from aa_admm_tpu.ops import elements as EL
+
+    rng = np.random.default_rng(3)
+    mesh = make_tet_blocks(4, 2, 2)
+    n = len(mesh.verts)
+    x = jnp.asarray(rng.standard_normal((n, 3)))
+    lame = Lame.from_young_poisson(1e6, 0.35)
+
+    tb = EL.TetBatch.from_mesh(mesh.verts, mesh.tets, lame)
+    tris = np.unique(
+        np.sort(mesh.tets[:, [0, 1, 2]], axis=1), axis=0)[:40]
+    trb = EL.TriBatch.from_mesh(mesh.verts, tris, Lame.rubber())
+    pb = EL.PinBatch.create(np.arange(0, n, 7), mesh.verts[::7])
+
+    for b, ne in ((tb, len(mesh.tets)), (trb, len(tris)),
+                  (pb, len(range(0, n, 7)))):
+        F = b.deform(x)
+        assert F.ndim == 2 and F.shape[-1] == ne, (type(b), F.shape)
+        t = jnp.asarray(rng.standard_normal(F.shape))
+        lhs = float(jnp.sum(F * t))
+        rhs = float(jnp.sum(x * b.scatter(t, n)))
+        assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs)), (type(b), lhs, rhs)
+
+
+def test_plane_roundtrip():
+    from aa_admm_tpu.ops.elements import m2p, p2m
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((17, 3, 3))
+    assert np.allclose(p2m(m2p(a), (3, 3)), a)
+    b = rng.standard_normal((11, 3, 2))
+    assert np.allclose(p2m(m2p(b), (3, 2)), b)
